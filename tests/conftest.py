@@ -1,0 +1,44 @@
+"""Test harness config.
+
+Tests run on CPU with 8 virtual devices (the standard JAX fake-backend trick,
+SURVEY.md SS5.5) so the multi-chip sharding paths get real coverage without a
+v5e-8 slice, and so results are deterministic across hosts.  TPU-hardware
+numbers are produced by bench.py, not pytest.
+
+IMPORTANT: env vars must be set before jax initializes a backend, hence the
+module-level os.environ mutation here (conftest imports before any test).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+from tpuao.params import GoldenAOParams, GoldenCameraParams  # noqa: E402
+
+
+@pytest.fixture
+def camera():
+    return GoldenCameraParams(depth_mode="linear")
+
+
+@pytest.fixture
+def hw_camera():
+    return GoldenCameraParams(depth_mode="hardware", reversed_z=True)
+
+
+@pytest.fixture
+def params():
+    return GoldenAOParams()
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)

@@ -1,0 +1,319 @@
+"""Parameter / config system for tpuao.
+
+This is the TPU-native analog of the reference's component API layer
+(SURVEY.md SS2 L3 and SS6 "Config / flag system"): ``keijiro/MiniEngineAO``
+exposes Unity MonoBehaviour properties ``NoiseFilterTolerance``,
+``BlurTolerance``, ``UpsampleTolerance``, ``RejectionFalloff``, ``Strength``
+with inspector slider ranges (expected in
+``Assets/MiniEngineAO/AmbientOcclusion.cs`` -- the reference mount was empty
+at build time, see SURVEY.md SS0, so no file:line citation is possible; the
+ranges/defaults follow upstream MiniEngine ``SSAO.cpp`` defaults as recorded
+in SURVEY.md SS6).
+
+Design notes (TPU-first):
+
+* Tunables that only feed uniforms are **traced scalars** (pytree leaves), so
+  changing them never recompiles the jitted frame program -- the analog of the
+  reference updating constant buffers without re-recording command buffers
+  (SURVEY.md SS4.3).
+* Structure-changing knobs (``hierarchy_depth``, ``exhaustive``, blur on/off)
+  are **static** pytree metadata: changing them recompiles, exactly like a
+  resolution change in the reference rebuilds command buffers.
+* The sample-disc tables (the reference's ``_InvThicknessTable`` /
+  ``_SampleWeightTable`` constant buffers, SURVEY.md SS3.2) are precomputed
+  here in NumPy at trace time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Sequence
+
+import numpy as np
+
+try:  # flax.struct gives us frozen pytree dataclasses with static fields.
+    from flax import struct
+except ImportError:  # pragma: no cover - flax is a baked-in dependency.
+    struct = None
+
+
+# ---------------------------------------------------------------------------
+# Sample disc pattern (SURVEY.md SS3.2)
+# ---------------------------------------------------------------------------
+# 12 disc entries on the integer grid inside a radius-5 (in slice texels)
+# sphere: 4 axial, 3 true-diagonal, 5 L-shaped.  Per-entry thickness
+# T[i] = sqrt(1 - (x^2 + y^2) / 25) is the half-chord height of the unit
+# sphere at that lateral offset.  Tap multiplicity is 4 for axial/diagonal
+# entries and 8 for L-shaped entries (which occur in two mirrored
+# orientations).  All integer grid points with 0 < x^2+y^2 < 25 are covered.
+SAMPLE_OFFSETS: tuple[tuple[int, int], ...] = (
+    (1, 0), (2, 0), (3, 0), (4, 0),          # axial
+    (1, 1), (2, 2), (3, 3),                  # diagonal
+    (1, 2), (1, 3), (1, 4), (2, 3), (2, 4),  # L-shaped
+)
+
+N_ENTRIES = len(SAMPLE_OFFSETS)
+
+SAMPLE_THICKNESS: np.ndarray = np.array(
+    [math.sqrt(1.0 - (x * x + y * y) / 25.0) for (x, y) in SAMPLE_OFFSETS],
+    dtype=np.float64,
+)
+
+TAP_MULTIPLICITY: np.ndarray = np.array(
+    [4 if (y == 0 or x == y) else 8 for (x, y) in SAMPLE_OFFSETS],
+    dtype=np.float64,
+)
+
+# Non-exhaustive ("sparse") quality mode: the subset of entries kept when
+# `AOParams.exhaustive=False`.  The reference's quality ladder zeroes a subset
+# of taps before normalizing (SURVEY.md SS3.2, MED confidence with the mount
+# empty); our documented choice is the even-coordinate entries, which align to
+# the half-resolution grid: (2,0), (4,0), (2,2), (2,4).
+SPARSE_ENTRY_INDICES: tuple[int, ...] = (1, 3, 5, 11)
+
+
+def entry_pairs(entry_index: int) -> list[tuple[int, int]]:
+    """Mirror-pair representatives for one disc entry, in slice texels.
+
+    Each returned offset ``o`` stands for the tap pair ``{+o, -o}``.
+    Axial entry (x,0) covers taps (+-x,0),(0,+-x)    -> 2 pairs.
+    Diagonal entry (x,x) covers (+-x,+-x)            -> 2 pairs.
+    L entry (x,y) covers (+-x,+-y),(+-y,-+x) and the
+    mirrored orientation (+-y,+-x),(+-x,-+y)         -> 4 pairs.
+    """
+    x, y = SAMPLE_OFFSETS[entry_index]
+    if y == 0:
+        return [(x, 0), (0, x)]
+    if x == y:
+        return [(x, x), (x, -x)]
+    return [(x, y), (y, -x), (y, x), (x, -y)]
+
+
+def build_pair_table(exhaustive: bool = True) -> tuple[np.ndarray, np.ndarray]:
+    """Flattened (offsets, weights) table for the AO estimator.
+
+    Returns ``(offsets[N,2] int32, weights[N] float32)`` where offsets are in
+    *slice texels* (multiply by 4 to get downsampled-buffer texels, SURVEY.md
+    SS3.1-3.2) and weights sum to 1 across all pairs.  Per-entry weight is
+    ``multiplicity * thickness`` normalized over active entries (the
+    reference's ``_SampleWeightTable``), split evenly among the entry's pairs.
+    """
+    active = (
+        range(N_ENTRIES) if exhaustive else SPARSE_ENTRY_INDICES
+    )
+    entry_w = {i: TAP_MULTIPLICITY[i] * SAMPLE_THICKNESS[i] for i in active}
+    total = sum(entry_w.values())
+    offsets: list[tuple[int, int]] = []
+    weights: list[float] = []
+    for i in active:
+        pairs = entry_pairs(i)
+        w_pair = entry_w[i] / total / len(pairs)
+        for o in pairs:
+            offsets.append(o)
+            weights.append(w_pair)
+    return (
+        np.array(offsets, dtype=np.int32),
+        np.array(weights, dtype=np.float32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tunables (reference component API, SURVEY.md SS2 L3 / SS6)
+# ---------------------------------------------------------------------------
+
+# Inspector slider ranges (SURVEY.md SS6; upstream defaults -3, -5, -7, 2.5).
+PARAM_RANGES: dict[str, tuple[float, float]] = {
+    "noise_filter_tolerance": (-8.0, 0.0),
+    "blur_tolerance": (-8.0, -1.0),
+    "upsample_tolerance": (-12.0, -1.0),
+    "rejection_falloff": (1.0, 10.0),
+    "strength": (0.1, 10.0),
+}
+
+if struct is not None:
+
+    @struct.dataclass
+    class AOParams:
+        """AO tunables.  Float fields are traced; changing them does not
+        recompile.  Fields marked ``pytree_node=False`` are static structure.
+        """
+
+        # --- traced tunables (reference MonoBehaviour properties) ---
+        noise_filter_tolerance: Any = -3.0
+        blur_tolerance: Any = -5.0
+        upsample_tolerance: Any = -7.0
+        rejection_falloff: Any = 2.5
+        strength: Any = 1.0
+
+        # --- static structure ---
+        hierarchy_depth: int = struct.field(pytree_node=False, default=4)
+        exhaustive: bool = struct.field(pytree_node=False, default=True)
+        enable_blur: bool = struct.field(pytree_node=False, default=True)
+        use_normals: bool = struct.field(pytree_node=False, default=False)
+        # Screen-space sphere diameter in slice texels (upstream
+        # ScreenspaceDiameter = 10; SURVEY.md SS3.2).
+        screenspace_diameter: float = struct.field(
+            pytree_node=False, default=10.0
+        )
+
+        def validate(self) -> "AOParams":
+            for name, (lo, hi) in PARAM_RANGES.items():
+                v = getattr(self, name)
+                if isinstance(v, (int, float)) and not (lo <= float(v) <= hi):
+                    raise ValueError(
+                        f"AOParams.{name}={v} outside range [{lo}, {hi}]"
+                    )
+            if not 1 <= self.hierarchy_depth <= 4:
+                raise ValueError(
+                    f"hierarchy_depth must be in [1,4], got {self.hierarchy_depth}"
+                )
+            return self
+
+    @struct.dataclass
+    class CameraParams:
+        """Camera projection description.
+
+        ``near``/``far``/``tan_half_fov_h`` are traced scalars.  Depth
+        convention flags are static (they change the traced program).
+
+        ``depth_mode``:
+          * ``"hardware"`` - input is the hardware depth buffer in [0,1];
+            linearized via ``1/(zmagic*d + 1)`` with
+            ``zmagic=(far-near)/near`` (reversed-Z; SURVEY.md SS3.1).
+          * ``"linear"`` - input is already normalized linear eye depth
+            ``z_eye / far`` in (0, 1].
+        """
+
+        near: Any = 0.1
+        far: Any = 100.0
+        tan_half_fov_h: Any = math.tan(math.radians(60.0) / 2)
+        reversed_z: bool = struct.field(pytree_node=False, default=True)
+        depth_mode: str = struct.field(pytree_node=False, default="hardware")
+
+else:  # pragma: no cover
+    AOParams = None
+    CameraParams = None
+
+
+# ---------------------------------------------------------------------------
+# Plain (non-pytree) mirrors for the NumPy golden reference, which must not
+# depend on JAX/flax (SURVEY.md SS5.1: a slow, obviously-correct spec).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class GoldenAOParams:
+    noise_filter_tolerance: float = -3.0
+    blur_tolerance: float = -5.0
+    upsample_tolerance: float = -7.0
+    rejection_falloff: float = 2.5
+    strength: float = 1.0
+    hierarchy_depth: int = 4
+    exhaustive: bool = True
+    enable_blur: bool = True
+    use_normals: bool = False
+    screenspace_diameter: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GoldenCameraParams:
+    near: float = 0.1
+    far: float = 100.0
+    tan_half_fov_h: float = math.tan(math.radians(60.0) / 2)
+    reversed_z: bool = True
+    depth_mode: str = "hardware"
+
+
+def to_golden(params, camera) -> tuple[GoldenAOParams, GoldenCameraParams]:
+    """Convert (possibly traced) AOParams/CameraParams to plain floats."""
+    def f(v):
+        return float(np.asarray(v))
+
+    gp = GoldenAOParams(
+        noise_filter_tolerance=f(params.noise_filter_tolerance),
+        blur_tolerance=f(params.blur_tolerance),
+        upsample_tolerance=f(params.upsample_tolerance),
+        rejection_falloff=f(params.rejection_falloff),
+        strength=f(params.strength),
+        hierarchy_depth=params.hierarchy_depth,
+        exhaustive=params.exhaustive,
+        enable_blur=params.enable_blur,
+        use_normals=params.use_normals,
+        screenspace_diameter=params.screenspace_diameter,
+    )
+    gc = GoldenCameraParams(
+        near=f(camera.near),
+        far=f(camera.far),
+        tan_half_fov_h=f(camera.tan_half_fov_h),
+        reversed_z=camera.reversed_z,
+        depth_mode=camera.depth_mode,
+    )
+    return gp, gc
+
+
+# ---------------------------------------------------------------------------
+# Derived per-level constants (the reference's host-side uniform math,
+# SURVEY.md SS3.2 / SS4.1 "CPU: compute SampleThickness, invThickness tables")
+# ---------------------------------------------------------------------------
+
+
+def sphere_radius_coef(level: int, full_width: int, tan_half_fov_h,
+                       screenspace_diameter: float = 10.0):
+    """World-space occlusion-sphere radius per unit linear depth at `level`.
+
+    At hierarchy level ``l`` (occlusion computed on the 1/2^l downsample), the
+    sphere has screen-space *diameter* ``screenspace_diameter`` slice texels
+    = ``4*screenspace_diameter`` downsampled texels.  One downsampled texel
+    subtends ``2*tan_half_fov_h / W_l`` world units per unit depth, with
+    ``W_l = full_width / 2^l``.  Hence
+
+        radius(z) = (4 * diam / 2) * (2 * tanH / W_l) * z
+                  = 4 * diam * tanH * 2^l / full_width * z
+
+    This is the reference's ``ThicknessMultiplier`` math (SURVEY.md SS3.2)
+    recast as an explicit geometric definition.
+    """
+    w_l = full_width // (1 << level)
+    return 4.0 * screenspace_diameter * tan_half_fov_h / w_l
+
+
+def upsample_constants(params, full_width: int, lo_width: int):
+    """Host-side constants for one blur+upsample step (SURVEY.md SS3.3).
+
+    step_size        = full_res_W / lo_res_W   (blur radius in hi-res px)
+    k_blur_tolerance = (1 - 10^BlurTolerance * step_size)^2
+    k_upsample_tol   = 10^UpsampleTolerance
+    noise_filter_strength = 1 / (10^NoiseFilterTolerance + k_upsample_tol)
+
+    Works for both plain floats (golden) and traced scalars (jnp): only
+    ``**``/``+``/``-`` are used via the host ``10**x`` on floats or
+    ``jnp.power`` on arrays -- callers pass the right kind.
+    """
+    import numpy as _np
+
+    def p10(x):
+        # works for python floats and numpy/jax scalars alike
+        try:
+            return 10.0 ** x
+        except TypeError:  # pragma: no cover
+            return _np.power(10.0, x)
+
+    step_size = full_width / lo_width
+    k_blur = (1.0 - p10(params.blur_tolerance) * step_size)
+    k_blur = k_blur * k_blur
+    k_up = p10(params.upsample_tolerance)
+    nfs = 1.0 / (p10(params.noise_filter_tolerance) + k_up)
+    return step_size, k_blur, k_up, nfs
+
+
+# ---------------------------------------------------------------------------
+# Padding rules (SURVEY.md SS8 hard-part 4: odd resolutions)
+# ---------------------------------------------------------------------------
+
+PAD_MULTIPLE = 64  # full-res frames are padded to a multiple of 64 and cropped
+
+
+def padded_shape(h: int, w: int, multiple: int = PAD_MULTIPLE) -> tuple[int, int]:
+    r = lambda v: (v + multiple - 1) // multiple * multiple
+    return r(h), r(w)
