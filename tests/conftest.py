@@ -11,12 +11,19 @@ module-level os.environ mutation here (conftest imports before any test).
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # override axon/TPU: tests are CPU-only
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# The axon boot hook (sitecustomize) force-sets jax_platforms="axon,cpu" via
+# jax.config at interpreter start, overriding the env var -- undo it before
+# any backend initializes so tests really run on the 8-device CPU backend.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,0 +1,151 @@
+"""Full-pipeline tests: jnp pipeline vs golden, jit/vmap behavior, engine API
+(SURVEY.md SS5.3-5.4), and the no-recompile-on-tunable-change contract
+(SURVEY.md SS4.3)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import tpuao
+from tpuao.golden import reference as G
+from tpuao.models.pipeline import (
+    AmbientOcclusionEngine,
+    render_frame,
+    single_scale_ao,
+)
+from tpuao.params import (
+    AOParams,
+    CameraParams,
+    GoldenAOParams,
+    GoldenCameraParams,
+)
+from tpuao.utils import fixtures as F
+
+TOL = 1e-4  # full-chain f32 vs f64; budget is 1e-3 ([BJ])
+
+
+def _scene(h=128, w=192, **kw):
+    return F.spheres_on_plane(h, w, n_spheres=4, seed=3, **kw)
+
+
+def test_full_pipeline_matches_golden():
+    z = _scene()
+    cam_j = CameraParams(depth_mode="linear")
+    cam_g = GoldenCameraParams(depth_mode="linear")
+    got = np.asarray(render_frame(z, cam_j, AOParams(), impl="jnp"))
+    want = G.render_frame_golden(z, cam_g, GoldenAOParams())
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_full_pipeline_hardware_depth_matches_golden():
+    z = _scene()
+    cam_g = GoldenCameraParams(depth_mode="hardware")
+    d = F.to_hardware_depth(z, cam_g)
+    got = np.asarray(render_frame(d, CameraParams(), AOParams(), impl="jnp"))
+    want = G.render_frame_golden(d, cam_g, GoldenAOParams())
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_pipeline_normals_matches_golden():
+    z, n = _scene(with_normals=True)
+    cam_j = CameraParams(depth_mode="linear")
+    cam_g = GoldenCameraParams(depth_mode="linear")
+    got = np.asarray(
+        render_frame(z, cam_j, AOParams(use_normals=True), normals=n,
+                     impl="jnp"))
+    want = G.render_frame_golden(z, cam_g, GoldenAOParams(use_normals=True),
+                                 normals=n)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_pipeline_odd_resolution():
+    z = _scene(100, 150)
+    got = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
+                                  AOParams(), impl="jnp"))
+    want = G.render_frame_golden(z, GoldenCameraParams(depth_mode="linear"),
+                                 GoldenAOParams())
+    assert got.shape == (100, 150)
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
+def test_single_scale_ao_config1():
+    z = _scene()
+    ao = np.asarray(single_scale_ao(z, CameraParams(depth_mode="linear")))
+    assert ao.shape == (64, 96)
+    want = G.render_ao_level(
+        G.downsample2x(z), 1, 192, GoldenCameraParams(depth_mode="linear"),
+        GoldenAOParams())
+    np.testing.assert_allclose(ao, want, atol=TOL)
+
+
+def test_vmap_equals_stack():
+    zs = np.stack([_scene(64, 64), F.corner(64, 64), F.flat_plane(64, 64)])
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    f = lambda z: render_frame(z, cam, par, impl="jnp")
+    batched = np.asarray(
+        jax.vmap(lambda z: tpuao.models.pipeline.ao_pipeline(
+            z, cam, par, impl="jnp")[0])(jnp.asarray(zs, jnp.float32)))
+    single = np.stack([np.asarray(f(z)) for z in zs])
+    np.testing.assert_allclose(batched, single, atol=1e-6)
+
+
+def test_no_recompile_on_tunable_change():
+    z = jnp.asarray(_scene(64, 64), jnp.float32)
+    cam = CameraParams(depth_mode="linear")
+    traces = 0
+
+    def pipeline(depth, camera, params):
+        nonlocal traces
+        traces += 1
+        return tpuao.models.pipeline.ao_pipeline(depth, camera, params,
+                                                 impl="jnp")[0]
+
+    jf = jax.jit(pipeline)
+    jf(z, cam, AOParams()).block_until_ready()
+    assert traces == 1
+    jf(z, cam, AOParams(strength=2.0, rejection_falloff=5.0,
+                        blur_tolerance=-2.0)).block_until_ready()
+    assert traces == 1  # tunables are traced scalars: same program
+    jf(z, cam, AOParams(hierarchy_depth=2)).block_until_ready()
+    assert traces == 2  # static structure change recompiles
+
+
+def test_engine_api():
+    z = _scene(64, 64)
+    eng = AmbientOcclusionEngine(CameraParams(depth_mode="linear"),
+                                 impl="jnp")
+    ao = np.asarray(eng.render(z))
+    assert ao.shape == (64, 64)
+    # OnValidate analog
+    with pytest.raises(ValueError):
+        eng.strength = 99.0
+    eng.strength = 2.0
+    ao2 = np.asarray(eng.render(z))
+    assert ao2.mean() <= ao.mean() + 1e-6
+    # composite + debug view
+    color = np.ones((64, 64, 3), np.float32)
+    lit = np.asarray(eng.render(z, color=color))
+    np.testing.assert_allclose(lit[..., 0], ao2, atol=1e-6)
+    eng.debug = True
+    dbg = np.asarray(eng.render(z, color=color))
+    np.testing.assert_allclose(dbg[..., 1], ao2, atol=1e-6)
+
+
+def test_debug_outputs():
+    z = _scene(64, 64)
+    ao, dbg = render_frame(z, CameraParams(depth_mode="linear"), AOParams(),
+                           debug_outputs=True, impl="jnp")
+    assert set(dbg["ao_levels"]) == {1, 2, 3, 4}
+    assert dbg["linear_z"].shape == (64, 64)
+    assert dbg["combined_0"].shape == (64, 64)
+
+
+def test_enable_blur_false():
+    z = _scene(64, 64)
+    ao = np.asarray(render_frame(
+        z, CameraParams(depth_mode="linear"),
+        AOParams(enable_blur=False, hierarchy_depth=1), impl="jnp"))
+    assert ao.shape == (64, 64)

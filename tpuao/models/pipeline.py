@@ -1,0 +1,222 @@
+"""Per-frame pipeline driver -- the TPU analog of ``AmbientOcclusion.cs``.
+
+The reference's host layer (SURVEY.md SS2 L2-L4, SS4) records a command
+buffer once (DownSample1 -> DownSample2 -> Render x4 -> Upsample x4 ->
+Composite) and replays it per frame with zero host round-trips.  Here the
+same DAG is a pure function traced once by ``jax.jit`` and replayed as one
+XLA program per frame -- command-buffer recording and jit tracing are the
+same idea (SURVEY.md SS2 'TPU-native mapping').
+
+  * ``render_frame``          - pure functional entry point (jit-cached).
+  * ``single_scale_ao``       - config-1 fast path (1/2-res, no blur).
+  * ``AmbientOcclusionEngine``- stateful component-API analog: validated
+    tunable properties (OnValidate), per-shape program cache (RT pyramid
+    reallocation analog), debug view mode.
+
+Tunables ride as traced scalars: changing them re-runs the same compiled
+program (SURVEY.md SS4.3).  Changing resolution or static structure
+(hierarchy_depth, normals on/off, blur on/off) compiles a new program, which
+is cached -- the analog of RebuildCommandBuffers on screen-size change.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from tpuao.params import AOParams, CameraParams, padded_shape
+from tpuao.ops import prepare as P
+from tpuao.ops import render as R
+from tpuao.ops import upsample as U
+from tpuao.ops import composite as C
+
+
+def _select_render_impl(impl: str):
+    """'jnp' | 'pallas' | 'auto' -> per-level render function."""
+    if impl == "jnp":
+        return R.render_ao_level
+    if impl in ("pallas", "auto"):
+        try:
+            from tpuao.ops import pallas_kernels as PK
+
+            if impl == "pallas" or jax.default_backend() == "tpu":
+                return PK.render_ao_level
+        except ImportError:
+            if impl == "pallas":
+                raise
+    return R.render_ao_level
+
+
+def _pad_to_64(x, hp, wp):
+    h, w = x.shape[-2:]
+    if hp == h and wp == w:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 2) + [(0, hp - h), (0, wp - w)]
+    return jnp.pad(x, cfg, mode="edge")
+
+
+def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
+    """depth [+normals] -> (full-res AO, debug dict).  Jit-traceable core."""
+    h0, w0 = depth.shape[-2:]
+    hp, wp = padded_shape(h0, w0)
+    depth = _pad_to_64(depth.astype(jnp.float32), hp, wp)
+    if normals is not None and params.use_normals:
+        npad = jnp.pad(
+            normals.astype(jnp.float32),
+            [(0, 0)] * (normals.ndim - 3)
+            + [(0, hp - h0), (0, wp - w0), (0, 0)],
+            mode="edge",
+        )
+    else:
+        npad = None
+
+    d = params.hierarchy_depth
+    render_level = _select_render_impl(impl)
+
+    with jax.named_scope("ao_prepare"):
+        linz = P.linearize_depth(depth, camera)
+        pyr = P.build_pyramid(linz, d)
+        if npad is not None:
+            # normals are (..., H, W, 3): downsample the spatial axes only
+            npyr = [npad]
+            for _ in range(d):
+                npyr.append(npyr[-1][..., 0::2, 0::2, :])
+        else:
+            npyr = [None] * (d + 1)
+
+    aos = {}
+    for l in range(1, d + 1):
+        with jax.named_scope(f"ao_render_l{l}"):
+            aos[l] = render_level(pyr[l], l, wp, camera, params, npyr[l])
+
+    debug = {"linear_z": linz, "ao_levels": aos,
+             "pyramid": {l: pyr[l] for l in range(d + 1)}}
+
+    if not params.enable_blur:
+        ao = jnp.repeat(jnp.repeat(aos[1], 2, axis=-2), 2, axis=-1)
+        return ao[..., :h0, :w0], debug
+
+    combined = aos[d]
+    for l in range(d, 0, -1):
+        with jax.named_scope(f"ao_upsample_l{l}"):
+            combined = U.blur_upsample_step(
+                combined,
+                pyr[l],
+                pyr[l - 1],
+                params,
+                wp,
+                lo_ao2=aos[l] if l != d else None,
+            )
+        debug[f"combined_{l-1}"] = combined
+    return combined[..., :h0, :w0], debug
+
+
+@functools.partial(
+    jax.jit, static_argnames=("debug_outputs", "impl")
+)
+def _render_frame_jit(depth, camera, params, normals, color,
+                      debug_outputs: bool, impl: str):
+    ao, debug = ao_pipeline(depth, camera, params, normals, impl=impl)
+    out = ao if color is None else C.composite(color, ao)
+    if debug_outputs:
+        return out, debug
+    return out
+
+
+def render_frame(depth, camera=None, params=None, normals=None, color=None,
+                 debug_outputs: bool = False, impl: str = "auto"):
+    """Full AO pipeline on one frame (or a leading-batch of frames).
+
+    Returns the AO buffer (or AO-multiplied color if ``color`` is given);
+    with ``debug_outputs=True`` also returns the intermediate pyramid dict.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    depth = jnp.asarray(depth)
+    if normals is not None:
+        normals = jnp.asarray(normals)
+    if color is not None:
+        color = jnp.asarray(color)
+    return _render_frame_jit(depth, camera, params, normals, color,
+                             debug_outputs, impl)
+
+
+def single_scale_ao(depth, camera=None, params=None, impl: str = "auto"):
+    """[BJ] config 1: single-scale AO at 1/2 input resolution, no blur.
+
+    Returns the 1/2-res AO buffer directly (the reference's Occlusion1 RT).
+    """
+    camera = camera or CameraParams()
+    params = (params or AOParams()).replace(hierarchy_depth=1,
+                                            enable_blur=False)
+    depth = jnp.asarray(depth)
+
+    @functools.partial(jax.jit, static_argnames=("impl",))
+    def go(depth, camera, params, impl):
+        h0, w0 = depth.shape[-2:]
+        hp, wp = padded_shape(h0, w0)
+        dpad = _pad_to_64(depth.astype(jnp.float32), hp, wp)
+        linz = P.linearize_depth(dpad, camera)
+        ds2 = P.downsample2x(linz)
+        ao = _select_render_impl(impl)(ds2, 1, wp, camera, params, None)
+        return ao[..., : h0 // 2, : w0 // 2]
+
+    return go(depth, camera, params, impl)
+
+
+class AmbientOcclusionEngine:
+    """Stateful driver analog of the reference MonoBehaviour (SURVEY.md SS4).
+
+    Tunables are validated on set (OnValidate analog) and ride as traced
+    scalars -- no recompilation.  Programs are cached per input shape /
+    static structure by jax.jit.
+    """
+
+    def __init__(self, camera: CameraParams | None = None,
+                 params: AOParams | None = None, impl: str = "auto",
+                 debug: bool = False):
+        self.camera = camera or CameraParams()
+        self._params = (params or AOParams()).validate()
+        self.impl = impl
+        self.debug = debug  # debug blit mode (SURVEY.md SS3.4)
+
+    # --- component API: validated tunable properties ---
+    @property
+    def params(self) -> AOParams:
+        return self._params
+
+    @params.setter
+    def params(self, value: AOParams):
+        self._params = value.validate()
+
+    def _set(self, **kw):
+        self._params = self._params.replace(**kw).validate()
+
+    noise_filter_tolerance = property(
+        lambda s: s._params.noise_filter_tolerance,
+        lambda s, v: s._set(noise_filter_tolerance=v))
+    blur_tolerance = property(
+        lambda s: s._params.blur_tolerance,
+        lambda s, v: s._set(blur_tolerance=v))
+    upsample_tolerance = property(
+        lambda s: s._params.upsample_tolerance,
+        lambda s, v: s._set(upsample_tolerance=v))
+    rejection_falloff = property(
+        lambda s: s._params.rejection_falloff,
+        lambda s, v: s._set(rejection_falloff=v))
+    strength = property(
+        lambda s: s._params.strength,
+        lambda s, v: s._set(strength=v))
+
+    # --- per-frame entry (command-buffer replay analog) ---
+    def render(self, depth, normals=None, color=None, debug_outputs=False):
+        if self.debug and color is not None:
+            ao = render_frame(depth, self.camera, self._params, normals,
+                              None, False, self.impl)
+            return C.debug_view(ao, color.shape[-1])
+        return render_frame(depth, self.camera, self._params, normals,
+                            color, debug_outputs, self.impl)
+
+    __call__ = render

@@ -1,0 +1,95 @@
+"""AoRender stage, TPU-native (SURVEY.md SS3.2).
+
+Reference behavior (expected ``Assets/MiniEngineAO/Shader/Render.compute`` --
+mount empty, SURVEY.md SS0): per deinterleaved slice, an 8x8 thread group
+caches a 16x16 linear-depth tile in group-shared memory and accumulates 12
+mirrored sample-pair occlusion tests per pixel.
+
+TPU-first redesign: the group-shared 16x16 cache maps to the whole level (or
+a VMEM block in the Pallas kernel, ops/pallas_kernels.py); each disc tap is a
+*static shifted slice* of the depth block -- 68 vectorized VPU reads, zero
+gathers, zero dynamic shapes.  The math is the golden spec bit-for-bit (same
+formula, f32 instead of f64); see golden/reference.py render_ao_level for the
+pair-test definition.
+
+This module is the pure-jnp implementation (XLA-fused); it is the correctness
+fallback for the Pallas kernel and the default on non-TPU backends.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuao.params import build_pair_table, sphere_radius_coef
+from tpuao.ops.prepare import pad_parity4
+
+HALO = 16  # max disc offset: 4 slice texels * stride 4
+
+
+def _pair_constants(params):
+    """Static per-pair (offsets in ds texels, thickness, weight) table."""
+    offsets, weights = build_pair_table(params.exhaustive)
+    out = []
+    for (sx, sy), w in zip(offsets, weights):
+        t = float(np.sqrt(max(1.0 - (sx * sx + sy * sy) / 25.0, 1e-12)))
+        out.append((4 * int(sx), 4 * int(sy), t, float(w)))
+    return out
+
+
+def render_ao_level(ds, level: int, full_width: int, camera, params,
+                    normals_ds=None):
+    """AO estimate at hierarchy level `level` on the 1/2^level depth buffer.
+
+    Pure-jnp mirror of golden render_ao_level; all loops are static Python
+    over the 34-pair table, so the traced program is a flat chain of shifted
+    slices + FMAs that XLA fuses into one pass.
+    """
+    ds = ds.astype(jnp.float32)
+    pairs = _pair_constants(params)
+    radius_coef = sphere_radius_coef(
+        level, full_width, camera.tan_half_fov_h, params.screenspace_diameter
+    )
+    texel_scale = 2.0 * camera.tan_half_fov_h / (full_width // (1 << level))
+
+    h, w = ds.shape[-2:]
+    zp = pad_parity4(ds, HALO)
+    use_n = normals_ds is not None and params.use_normals
+    if use_n:
+        npx = pad_parity4(normals_ds[..., 0].astype(jnp.float32), HALO)
+        npy = pad_parity4(normals_ds[..., 1].astype(jnp.float32), HALO)
+        npz = pad_parity4(normals_ds[..., 2].astype(jnp.float32), HALO)
+
+    def window(arr, dy, dx):
+        return arr[..., HALO + dy: HALO + dy + h, HALO + dx: HALO + dx + w]
+
+    z_c = ds
+    inv_zc = 1.0 / z_c
+    falloff = params.rejection_falloff
+    if use_n:
+        n_x, n_y = window(npx, 0, 0), window(npy, 0, 0)
+        n_z = jnp.maximum(window(npz, 0, 0), 0.05)
+        grad = texel_scale / n_z
+
+    vis = jnp.zeros_like(z_c)
+    for (dx, dy, t, w_pair) in pairs:
+        inv_r = 1.0 / (radius_coef * t)
+        zs1 = window(zp, dy, dx)
+        zs2 = window(zp, -dy, -dx)
+        if use_n:
+            rel = jnp.clip((n_x * dx + n_y * dy) * grad,
+                           -radius_coef, radius_coef)
+            # d = 1 + (zs - z_c*(1 +- rel)) * inv_r / z_c
+            d1 = 1.0 + (zs1 * inv_zc - (1.0 + rel)) * inv_r
+            d2 = 1.0 + (zs2 * inv_zc - (1.0 - rel)) * inv_r
+        else:
+            d1 = 1.0 + (zs1 * inv_zc - 1.0) * inv_r
+            d2 = 1.0 + (zs2 * inv_zc - 1.0) * inv_r
+        p1 = jnp.clip(falloff * d1, 0.0, 1.0)
+        p2 = jnp.clip(falloff * d2, 0.0, 1.0)
+        pair_vis = jnp.clip(jnp.maximum(d1, p2), 0.0, 1.0) + jnp.clip(
+            jnp.maximum(d2, p1), 0.0, 1.0
+        )
+        vis = vis + (0.5 * w_pair) * pair_vis
+
+    return jnp.power(jnp.clip(vis, 0.0, 1.0), params.strength)
