@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""tpuao benchmark harness -- the [BJ] metric triple per config.
+
+Runs the 5 BASELINE.json configs on the default backend (the real TPU chip
+under the driver), each reporting ms/frame | Mpix/s | max-abs-err vs the
+golden NumPy spec, writes the full table to BENCH_DETAIL.json, and prints
+ONE JSON line for the headline metric:
+
+    1080p full 4-level hierarchical pipeline (config 2) ms/frame,
+    vs_baseline = (1 ms north-star target) / measured  (>1 beats target).
+
+Env knobs: BENCH_FAST=1 skips the 4K golden error check (timing still runs);
+BENCH_REPS overrides rep count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpuao.golden import reference as G
+from tpuao.models.pipeline import ao_pipeline, single_scale_ao
+from tpuao.params import AOParams, CameraParams, to_golden
+from tpuao.parallel.sharding import make_mesh, render_views_sharded
+from tpuao.utils import fixtures as F
+
+from tpuao.utils.profiling import device_time_ms
+
+REPS = int(os.environ.get("BENCH_REPS", "40"))  # on-device chain length
+FAST = os.environ.get("BENCH_FAST") == "1"
+BASELINE_MS = 1.0  # BASELINE.md north star: <1 ms/frame at 1080p on 1 chip
+
+
+def time_ms(fn, *args, reps=REPS, warmup=0):
+    """Per-frame device time via on-device chaining (see utils.profiling:
+    block_until_ready does not sync through the axon relay) + one real
+    output for the accuracy check."""
+    ms = device_time_ms(fn, *args, iters=reps)
+    return ms, fn(*args)
+
+
+def scene(h, w, with_normals=False):
+    return F.spheres_on_plane(h, w, n_spheres=6, seed=11,
+                              with_normals=with_normals)
+
+
+def main():
+    impl = os.environ.get("BENCH_IMPL", "auto")
+    cam = CameraParams(depth_mode="linear")
+    results = {"backend": jax.default_backend(),
+               "device": str(jax.devices()[0]), "impl": impl, "configs": {}}
+
+    def golden_err(ao, z, params, normals=None):
+        gp, gc = to_golden(params, cam)
+        want = G.render_frame_golden(z, gc, gp, normals=normals)
+        return float(np.abs(np.asarray(ao, np.float64) - want).max())
+
+    # ---- config 1: single-scale 1/2-res AO, 720p, no blur -----------------
+    z = scene(720, 1280)
+    zd = jax.device_put(jnp.asarray(z, jnp.float32))
+    p1 = AOParams(hierarchy_depth=1, enable_blur=False)
+    f1 = jax.jit(lambda d: single_scale_ao(d, cam, p1, impl=impl))
+    ms, ao = time_ms(f1, zd)
+    gp, gc = to_golden(p1, cam)
+    want = G.render_ao_level(G.downsample2x(
+        np.pad(z, ((0, 48), (0, 0)), mode="edge")), 1, 1280, gc, gp)[:360]
+    err = float(np.abs(np.asarray(ao, np.float64) - want).max())
+    results["configs"]["1_720p_single_scale"] = dict(
+        ms=ms, mpix_s=(1280 * 720 / 1e6) / (ms / 1e3), max_abs_err=err)
+
+    # ---- config 2: full 4-level pipeline, 1080p, depth-only (HEADLINE) ----
+    z = scene(1080, 1920)
+    zd = jax.device_put(jnp.asarray(z, jnp.float32))
+    p2 = AOParams()
+    f2 = jax.jit(lambda d: ao_pipeline(d, cam, p2, None, impl=impl)[0])
+    ms2, ao = time_ms(f2, zd)
+    err2 = golden_err(ao, z, p2)
+    results["configs"]["2_1080p_full"] = dict(
+        ms=ms2, mpix_s=(1920 * 1080 / 1e6) / (ms2 / 1e3), max_abs_err=err2)
+
+    # ---- config 3: 1080p + normals + tunable sweep ------------------------
+    z, n = scene(1080, 1920, with_normals=True)
+    zd = jax.device_put(jnp.asarray(z, jnp.float32))
+    nd = jax.device_put(jnp.asarray(n, jnp.float32))
+    p3 = AOParams(use_normals=True)
+    f3 = jax.jit(lambda d, nn, pp: ao_pipeline(d, cam, pp, nn, impl=impl)[0])
+    ms3, ao = time_ms(f3, zd, nd, p3)
+    err3 = golden_err(ao, z, p3, normals=n)
+    # tunable sweep contract: varied params reuse the same compiled program
+    traces = 0
+
+    def counted(d, nn, pp):
+        nonlocal traces
+        traces += 1
+        return ao_pipeline(d, cam, pp, nn, impl=impl)[0]
+
+    fc = jax.jit(counted)
+    sweep = [p3.replace(strength=s, rejection_falloff=r, blur_tolerance=b)
+             for s, r, b in ((0.5, 1.5, -7.0), (2.0, 5.0, -3.0),
+                             (4.0, 9.0, -1.5))]
+    for pp in sweep:
+        out = fc(zd, nd, pp)
+    jax.block_until_ready(out)
+    results["configs"]["3_1080p_normals_sweep"] = dict(
+        ms=ms3, mpix_s=(1920 * 1080 / 1e6) / (ms3 / 1e3), max_abs_err=err3,
+        sweep_settings=len(sweep), sweep_retraces=traces - 1)
+
+    # ---- config 4: 4K single camera ---------------------------------------
+    z4 = scene(2160, 3840)
+    zd4 = jax.device_put(jnp.asarray(z4, jnp.float32))
+    ms4, ao4 = time_ms(f2, zd4, reps=max(REPS // 2, 5))
+    err4 = None if FAST else golden_err(ao4, z4, p2)
+    results["configs"]["4_4k_full"] = dict(
+        ms=ms4, mpix_s=(3840 * 2160 / 1e6) / (ms4 / 1e3), max_abs_err=err4)
+
+    # ---- config 5: 8-view 1080p batch, view-sharded mesh ------------------
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuao.parallel.sharding import VIEW_AXIS, render_views
+
+    n_dev = len(jax.devices())
+    views = 8
+    zs = np.stack([scene(1080, 1920)] * views).astype(np.float32)
+    mesh = make_mesh(n_dev if views % n_dev == 0 else 1)
+    spec = NamedSharding(mesh, P(VIEW_AXIS, None, None))
+    zsd = jax.device_put(zs, spec)
+    f5 = jax.jit(lambda d: render_views(d, cam, p2, impl=impl),
+                 out_shardings=spec)
+    ms5, ao5 = time_ms(f5, zsd, reps=max(REPS // 4, 5))
+    results["configs"]["5_8view_1080p_sharded"] = dict(
+        ms=ms5, ms_per_view=ms5 / views,
+        mpix_s=(views * 1920 * 1080 / 1e6) / (ms5 / 1e3),
+        mesh_devices=int(mesh.devices.size))
+
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(results, f, indent=2)
+
+    headline = {
+        "metric": "1080p_full_hierarchical_ao_ms_per_frame",
+        "value": round(ms2, 4),
+        "unit": "ms/frame",
+        "vs_baseline": round(BASELINE_MS / ms2, 4),
+    }
+    print(json.dumps(headline))
+
+
+if __name__ == "__main__":
+    main()

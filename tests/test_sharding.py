@@ -1,0 +1,75 @@
+"""Multi-view sharding tests on the 8-device CPU mesh (SURVEY.md SS5.5)."""
+
+import numpy as np
+import jax
+import pytest
+
+from tpuao.models.pipeline import render_frame
+from tpuao.parallel.sharding import (
+    VIEW_AXIS,
+    make_mesh,
+    render_views,
+    render_views_sharded,
+)
+from tpuao.params import AOParams, CameraParams
+from tpuao.utils import fixtures as F
+
+
+@pytest.fixture(scope="module")
+def views():
+    return np.stack(
+        [F.spheres_on_plane(64, 128, n_spheres=3, seed=s) for s in range(8)]
+    ).astype(np.float32)
+
+
+def test_eight_cpu_devices_available():
+    assert len(jax.devices()) == 8, jax.devices()
+
+
+def test_sharded_matches_per_frame(views):
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    mesh = make_mesh(8)
+    out = render_views_sharded(views, cam, par, mesh=mesh, impl="jnp")
+    assert out.shape == views.shape
+    assert out.sharding.spec[0] == VIEW_AXIS
+    single = np.stack(
+        [np.asarray(render_frame(v, cam, par, impl="jnp")) for v in views]
+    )
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
+
+
+def test_sharded_program_has_no_collectives(views):
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    mesh = make_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    spec = NamedSharding(mesh, P(VIEW_AXIS, None, None))
+    zd = jax.device_put(views, spec)
+    fn = jax.jit(lambda d: render_views(d, cam, par, impl="jnp"),
+                 out_shardings=spec)
+    hlo = fn.lower(zd).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} in hot path"
+
+
+def test_mesh_subset(views):
+    cam = CameraParams(depth_mode="linear")
+    out = render_views_sharded(views[:4], cam, AOParams(),
+                               mesh=make_mesh(4), impl="jnp")
+    assert out.shape == (4, 64, 128)
+
+
+def test_uneven_views_rejected(views):
+    with pytest.raises(AssertionError):
+        render_views_sharded(views[:3], mesh=make_mesh(8), impl="jnp")
+
+
+def test_dryrun_multichip_entry():
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)

@@ -82,7 +82,9 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
             # normals are (..., H, W, 3): downsample the spatial axes only
             npyr = [npad]
             for _ in range(d):
-                npyr.append(npyr[-1][..., 0::2, 0::2, :])
+                # sequential per-axis strided slices: a combined 2-D strided
+                # slice lowers pathologically on TPU (see ops.prepare)
+                npyr.append(npyr[-1][..., 0::2, :, :][..., :, 0::2, :])
         else:
             npyr = [None] * (d + 1)
 

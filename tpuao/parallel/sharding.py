@@ -1,0 +1,80 @@
+"""Multi-view / multi-chip execution (SURVEY.md SS6 'Distributed comm
+backend', [BJ] config 5).
+
+The reference is single-GPU single-frame; its only parallel axes are thread
+groups + the 16-slice deinterleave.  The TPU-native scale-out axis is the
+*view/frame batch*: ``vmap`` the per-frame program over a leading axis and
+shard that axis across a ``jax.sharding.Mesh`` with ``NamedSharding``.  AO is
+embarrassingly parallel across views, so XLA inserts **zero collectives** in
+the frame hot path -- each chip renders its views from HBM-resident inputs
+(the design SURVEY.md SS6 prescribes: collectives only if outputs are
+gathered).
+
+Works identically on one real TPU chip (mesh of 1), a v5e-8 slice, or the
+8-device CPU simulation used by tests and the driver's dryrun.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuao.models.pipeline import ao_pipeline
+from tpuao.params import AOParams, CameraParams
+
+VIEW_AXIS = "views"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the view axis."""
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (VIEW_AXIS,))
+
+
+def render_views(depths, camera=None, params=None, normals=None,
+                 impl: str = "auto"):
+    """vmap of the frame program over a leading views axis (no sharding)."""
+    camera = camera or CameraParams()
+    params = params or AOParams()
+
+    def one(d, n):
+        return ao_pipeline(d, camera, params, n, impl=impl)[0]
+
+    if normals is None:
+        return jax.vmap(lambda d: one(d, None))(depths)
+    return jax.vmap(one)(depths, normals)
+
+
+def render_views_sharded(depths, camera=None, params=None, normals=None,
+                         mesh: Mesh | None = None, impl: str = "auto"):
+    """[BJ] config 5: batched multi-view AO sharded across a device mesh.
+
+    Inputs are placed with NamedSharding(P('views')) so each chip holds and
+    renders only its shard; the output stays sharded the same way (callers
+    can ``jax.device_get`` to gather).  Pure data parallel over ICI -- no
+    collectives in the compiled program.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    mesh = mesh or make_mesh()
+    n = depths.shape[0]
+    assert n % mesh.devices.size == 0, (
+        f"view count {n} not divisible by mesh size {mesh.devices.size}")
+
+    spec_d = NamedSharding(mesh, P(VIEW_AXIS, None, None))
+    depths = jax.device_put(jnp.asarray(depths, jnp.float32), spec_d)
+    if normals is not None:
+        spec_n = NamedSharding(mesh, P(VIEW_AXIS, None, None, None))
+        normals = jax.device_put(jnp.asarray(normals, jnp.float32), spec_n)
+
+    fn = jax.jit(
+        lambda d, nrm: render_views(d, camera, params, nrm, impl=impl),
+        static_argnames=(),
+        out_shardings=spec_d,
+    )
+    return fn(depths, normals)

@@ -1,0 +1,104 @@
+"""Timing / profiling utilities (SURVEY.md SS6 'Tracing / profiling').
+
+The reference exposes per-dispatch timing through Unity's frame debugger;
+here every pipeline stage runs under ``jax.named_scope`` (see
+models/pipeline.py) so ``jax.profiler.trace`` captures a per-stage timeline
+on hosts where the profiler works, and this module provides robust wall-clock
+measurement that works even where it doesn't.
+
+Measurement methodology (important on relayed/remote TPU backends like the
+axon tunnel used in this environment):
+
+* ``block_until_ready`` may return at *enqueue* time, not completion, so
+  naive timing reads ~0.02 ms for any program.
+* Host<->device transfers ride the tunnel (~35 MB/s measured), so timing a
+  call that fetches the frame measures the network.
+
+``device_time_ms`` therefore chains N invocations of the program on-device
+inside one ``lax.fori_loop`` -- each iteration consumes the previous result
+via a tiny data dependency and the loop ends in a scalar ``jnp.sum`` readback
+(full reduction defeats dead-code/slice elimination) -- and returns
+``(t_N - t_1) / (N - 1)``, which cancels the fixed round-trip latency.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3) -> float:
+    """Median per-invocation device time of ``fn(*args)`` in milliseconds.
+
+    ``fn`` must map arrays -> array(s) and be jit-traceable.  The first
+    argument must be a float array (it receives the cross-iteration
+    perturbation; the perturbation is ``carry * 1e-20`` so results are
+    numerically unchanged).
+    """
+
+    def chained(n, *a):
+        def body(i, carry):
+            out = fn(a[0] + carry * jnp.float32(1e-20), *a[1:])
+            leaves = jax.tree_util.tree_leaves(out)
+            return sum(jnp.sum(l) for l in leaves).astype(jnp.float32) * 1e-20
+
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    compiled = jax.jit(chained, static_argnums=0)
+    float(compiled(1, *args))
+    float(compiled(iters, *args))
+    samples = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(compiled(1, *args))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(compiled(iters, *args))
+        tn = time.perf_counter() - t0
+        samples.append((tn - t1) / (iters - 1) * 1e3)
+    return float(np.median(samples))
+
+
+def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
+                   iters: int = 40) -> dict[str, float]:
+    """Per-stage wall-clock breakdown of the frame program (frame-debugger
+    analog).  Returns {stage_name: ms}."""
+    from tpuao.models.pipeline import _pad_to_64
+    from tpuao.models.pipeline import ao_pipeline
+    from tpuao.ops import prepare as P
+    from tpuao.ops import render as R
+    from tpuao.ops import upsample as U
+    from tpuao.params import padded_shape
+
+    h0, w0 = depth.shape[-2:]
+    hp, wp = padded_shape(h0, w0)
+    d = params.hierarchy_depth
+    out = {}
+
+    def prep(x):
+        linz = P.linearize_depth(_pad_to_64(x, hp, wp), camera)
+        pyr = P.build_pyramid(linz, d)
+        return tuple(pyr)
+
+    out["prepare"] = device_time_ms(prep, depth, iters=iters)
+    pyr = [jnp.asarray(x) for x in jax.jit(prep)(depth)]
+    for l in range(1, d + 1):
+        out[f"render_l{l}"] = device_time_ms(
+            lambda x, l=l: R.render_ao_level(x, l, wp, camera, params),
+            pyr[l], iters=iters)
+    rng = np.random.default_rng(0)
+    for l in range(d, 0, -1):
+        lo = jnp.asarray(rng.uniform(0.2, 0.8, pyr[l].shape), jnp.float32)
+        out[f"upsample_l{l}"] = device_time_ms(
+            lambda a, lo_d, hi_d, l=l: U.blur_upsample_step(
+                a, lo_d, hi_d, params, wp,
+                lo_ao2=a * 0.9 if l != d else None),
+            lo, pyr[l], pyr[l - 1], iters=iters)
+    out["full_pipeline"] = device_time_ms(
+        lambda x: ao_pipeline(x, camera, params, normals, impl=impl)[0],
+        depth, iters=iters)
+    return out
