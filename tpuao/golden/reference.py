@@ -314,14 +314,44 @@ def blur_upsample_step(
     BlurUpsample{,PreMin}{,BlendOut}CS) are expressed by the two optional
     arguments: ``lo_ao2`` enables the low-res pre-min combine and
     ``hi_ao_blend`` enables the high-res min blend of the output.
+
+    Composition rule (spec): the low-res field is first edge-extended by one
+    texel bottom/right, the noise filter runs on the extended domain, and the
+    upsample taps are plain slices of the extended filtered field -- i.e.
+    edge clamping happens on the *input*, matching a GPU sampler reading a
+    filtered texture with clamp addressing (and the fused TPU kernel).
     """
     if lo_ao2 is not None:
         lo_ao = np.minimum(lo_ao, lo_ao2)
     _, k_blur, k_up, nfs = upsample_constants(
         params, full_width, lo_d.shape[1]
     )
-    filtered = noise_filter(lo_ao, lo_d, nfs)
-    up = bilateral_upsample2x(filtered, lo_d, hi_d, k_blur, k_up)
+    lh, lw = lo_d.shape
+    ap = np.pad(lo_ao, ((0, 1), (0, 1)), mode="edge")
+    dp = np.pad(lo_d, ((0, 1), (0, 1)), mode="edge")
+    filtered = noise_filter(ap, dp, nfs)  # (lh+1, lw+1) extended field
+
+    hh, hw = hi_d.shape
+    r = np.arange(hh)
+    c = np.arange(hw)
+    r0, c0 = r // 2, c // 2
+    fr = (r % 2) * 0.5
+    fc = (c % 2) * 0.5
+    acc = np.zeros((hh, hw))
+    wacc = np.zeros((hh, hw))
+    for dr in (0, 1):
+        for dc in (0, 1):
+            a = filtered[np.ix_(r0 + dr, c0 + dc)]
+            d = dp[np.ix_(r0 + dr, c0 + dc)]
+            bw = (
+                np.where(dr == 0, 1.0 - fr, fr)[:, None]
+                * np.where(dc == 0, 1.0 - fc, fc)[None, :]
+            )
+            dd = d - hi_d
+            wt = bw / (dd * dd / k_blur + k_up)
+            acc += wt * a
+            wacc += wt
+    up = acc / np.maximum(wacc, 1e-30)
     if hi_ao_blend is not None:
         up = np.minimum(up, hi_ao_blend)
     return up

@@ -34,19 +34,27 @@ from tpuao.ops import composite as C
 
 
 def _select_render_impl(impl: str):
-    """'jnp' | 'pallas' | 'auto' -> per-level render function."""
-    if impl == "jnp":
-        return R.render_ao_level
-    if impl in ("pallas", "auto"):
-        try:
-            from tpuao.ops import pallas_kernels as PK
+    """'jnp' | 'pallas' | 'auto' -> per-level render function.
 
-            if impl == "pallas" or jax.default_backend() == "tpu":
-                return PK.render_ao_level
-        except ImportError:
-            if impl == "pallas":
-                raise
+    'auto' keeps the XLA-fused jnp render (measured on-par with the Pallas
+    kernel -- the stage is VPU-compute-bound -- without the halo-window
+    prologue copies); 'pallas' forces the kernel."""
+    if impl == "pallas":
+        from tpuao.ops import pallas_kernels as PK
+
+        return PK.render_ao_level
     return R.render_ao_level
+
+
+def _select_upsample_impl(impl: str):
+    """'auto' keeps the XLA-fused jnp step (measured on-par with the fused
+    Pallas kernel in-pipeline: 0.86 vs 0.87 ms full-frame at 1080p);
+    'pallas' forces the kernel."""
+    if impl == "pallas":
+        from tpuao.ops import pallas_kernels as PK
+
+        return PK.blur_upsample_step
+    return U.blur_upsample_step
 
 
 def _pad_to_64(x, hp, wp):
@@ -100,10 +108,11 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
         ao = jnp.repeat(jnp.repeat(aos[1], 2, axis=-2), 2, axis=-1)
         return ao[..., :h0, :w0], debug
 
+    upsample_step = _select_upsample_impl(impl)
     combined = aos[d]
     for l in range(d, 0, -1):
         with jax.named_scope(f"ao_upsample_l{l}"):
-            combined = U.blur_upsample_step(
+            combined = upsample_step(
                 combined,
                 pyr[l],
                 pyr[l - 1],

@@ -1,0 +1,285 @@
+"""Pallas TPU kernels for the hot pipeline stages.
+
+The reference's native components are HLSL compute shaders; their TPU-native
+equivalent is Pallas (SURVEY.md SS3 header).  This module implements the
+AoRender estimator (SURVEY.md SS3.2) as a fused VMEM-tile kernel:
+
+* GPU model: an 8x8 thread group caches a 16x16 depth tile (8x8 core +
+  4-texel apron) in group-shared memory, one deinterleaved slice per
+  dispatch-z.
+* TPU model: one grid step holds an (R+32, W+32) depth window resident in
+  VMEM -- rows tiled over the grid, the 4x4 deinterleave replaced by
+  stride-4 static slices of the window (see ops/prepare.py) -- and the whole
+  34-pair accumulation runs as VPU vector ops with zero gathers and a single
+  HBM read/write per texel.
+
+Row tiling uses an explicit pre-windowed input (g, R+2H, W+2H) built by
+cheap jnp stacking (overlapping BlockSpecs are not expressible; duplicating
+the 32 halo rows costs ~25% of one level read, ~microseconds), so each grid
+step gets its halo without inter-block communication.
+
+Traced tunables (rejection_falloff, strength, camera FOV) enter through an
+SMEM scalar table, so parameter changes never recompile (SURVEY.md SS4.3).
+
+Math is bit-compatible with tpuao.ops.render / the golden spec; tested to
+<=1e-3 ([BJ] budget; in practice ~1e-6).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpuao.ops.prepare import pad_parity4
+from tpuao.ops.render import _pair_constants
+from tpuao.params import sphere_radius_coef
+
+HALO = 16
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _row_windows(zp, g: int, tile: int):
+    """(g*tile + 2*HALO, W) -> (g, tile + 2*HALO, W) overlapping windows."""
+    return jnp.stack(
+        [zp[i * tile: i * tile + tile + 2 * HALO, :] for i in range(g)]
+    )
+
+
+def _render_kernel(pairs, R, w, use_normals, scal_ref, z_ref, *rest):
+    (o_ref,) = rest[-1:]
+    falloff = scal_ref[0, 0]
+    strength = scal_ref[0, 1]
+    inv_rc = scal_ref[0, 2]  # 1 / radius_coef
+    z = z_ref[0]
+    zc = z[HALO: HALO + R, HALO: HALO + w]
+    inv_zc = 1.0 / zc
+    if use_normals:
+        nx_ref, ny_ref, nz_ref = rest[0], rest[1], rest[2]
+        n_x = nx_ref[0][HALO: HALO + R, HALO: HALO + w]
+        n_y = ny_ref[0][HALO: HALO + R, HALO: HALO + w]
+        n_z = jnp.maximum(nz_ref[0][HALO: HALO + R, HALO: HALO + w], 0.05)
+        texel_scale = scal_ref[0, 3]
+        radius_coef = 1.0 / inv_rc
+        grad = texel_scale / n_z
+
+    vis = jnp.zeros((R, w), jnp.float32)
+    prev_t = None
+    a_i = None
+    for (dx, dy, t, w_pair) in pairs:
+        inv_r = (1.0 / t) * inv_rc
+        if t != prev_t:
+            a_i = inv_zc * inv_r  # shared by all taps of this disc entry
+            prev_t = t
+        b_i = 1.0 - inv_r
+        zs1 = z[HALO + dy: HALO + dy + R, HALO + dx: HALO + dx + w]
+        zs2 = z[HALO - dy: HALO - dy + R, HALO - dx: HALO - dx + w]
+        if use_normals:
+            rel = jnp.clip((n_x * dx + n_y * dy) * grad,
+                           -radius_coef, radius_coef)
+            d1 = zs1 * a_i + (b_i - rel * inv_r)
+            d2 = zs2 * a_i + (b_i + rel * inv_r)
+        else:
+            d1 = zs1 * a_i + b_i
+            d2 = zs2 * a_i + b_i
+        p1 = jnp.clip(falloff * d1, 0.0, 1.0)
+        p2 = jnp.clip(falloff * d2, 0.0, 1.0)
+        pair_vis = jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2) + jnp.maximum(
+            jnp.clip(d2, 0.0, 1.0), p1
+        )
+        vis = vis + (0.5 * w_pair) * pair_vis
+
+    vis = jnp.clip(vis, 0.0, 1.0)
+    # vis ** strength with traced exponent; vis==0 -> exp(-inf)=0 (strength>0)
+    o_ref[0] = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
+
+
+def _upsample_kernel(R, lw, premin, scal_ref, *refs):
+    """Fused AoBlurUpsample step (SURVEY.md SS3.3) on one lo-res row tile.
+
+    refs: [lo_ao2_win,] lo_ao_win, lo_d_win, hi_d_planes, out_planes
+    lo windows are (1, R+3, lw+3) edge-padded tiles (ext rows [iR-1,
+    iR+R+2)); hi-res arrays travel as 4 parity planes (4, R, lw) -- Mosaic
+    has no lane-interleave shape cast, so the 2x interleave happens in one
+    cheap XLA transpose outside the kernel.
+    """
+    if premin:
+        ao2_ref, ao_ref, lod_ref, hid_ref, out_ref = refs
+    else:
+        ao_ref, lod_ref, hid_ref, out_ref = refs
+    k_blur = scal_ref[0, 0]
+    k_up = scal_ref[0, 1]
+    nfs = scal_ref[0, 2]
+
+    lo_a = ao_ref[0]
+    if premin:
+        lo_a = jnp.minimum(lo_a, ao2_ref[0])
+    lo_d = lod_ref[0]
+
+    # --- noise filter on the edge-extended domain: ext rows [iR, iR+R] ---
+    nrows, ncols = R + 1, lw + 1
+    dc_c = lo_d[1: 1 + nrows, 1: 1 + ncols]  # filter centers
+    acc = jnp.zeros((nrows, ncols), jnp.float32)
+    wacc = jnp.zeros((nrows, ncols), jnp.float32)
+    for dy, dx, g in ((-1, -1, 1.), (-1, 0, 2.), (-1, 1, 1.),
+                      (0, -1, 2.), (0, 0, 4.), (0, 1, 2.),
+                      (1, -1, 1.), (1, 0, 2.), (1, 1, 1.)):
+        a_n = lo_a[1 + dy: 1 + dy + nrows, 1 + dx: 1 + dx + ncols]
+        d_n = lo_d[1 + dy: 1 + dy + nrows, 1 + dx: 1 + dx + ncols]
+        dd = d_n - dc_c
+        wt = g / (1.0 + nfs * dd * dd)
+        acc += wt * a_n
+        wacc += wt
+    filtered = acc / wacc
+
+    # --- bilateral 2x: per-parity planes, only non-zero bilinear taps ---
+    for p in (0, 1):
+        for q in (0, 1):
+            hd = hid_ref[2 * p + q]  # (R, lw) hi depth at parity (p, q)
+            up_acc = jnp.zeros((R, lw), jnp.float32)
+            up_w = jnp.zeros((R, lw), jnp.float32)
+            for dr in (0, 1):
+                wr = 1.0 - p * 0.5 if dr == 0 else p * 0.5
+                if wr == 0.0:
+                    continue
+                for dc in (0, 1):
+                    wc = 1.0 - q * 0.5 if dc == 0 else q * 0.5
+                    if wc == 0.0:
+                        continue
+                    a = filtered[dr: dr + R, dc: dc + lw]
+                    d = lo_d[1 + dr: 1 + dr + R, 1 + dc: 1 + dc + lw]
+                    dd = d - hd
+                    wt = (wr * wc) / (dd * dd / k_blur + k_up)
+                    up_acc += wt * a
+                    up_w += wt
+            out_ref[2 * p + q] = up_acc / jnp.maximum(up_w, 1e-30)
+
+
+def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
+                       lo_ao2=None, hi_ao_blend=None, row_tile: int = 64):
+    """Fused Pallas AoBlurUpsample step; drop-in for ops.upsample version."""
+    from tpuao.params import upsample_constants
+
+    lo_ao = lo_ao.astype(jnp.float32)
+    lo_d = lo_d.astype(jnp.float32)
+    hi_d = hi_d.astype(jnp.float32)
+    lh, lw = lo_d.shape[-2:]
+    _, k_blur, k_up, nfs = upsample_constants(params, full_width, lw)
+
+    R = min(row_tile, lh)
+    g = -(-lh // R)
+    pad_rows = g * R - lh
+
+    def prep_lo(x):
+        x = jnp.pad(x, [(1, 2 + pad_rows), (1, 2)], mode="edge")
+        return jnp.stack(
+            [x[i * R: i * R + R + 3, :] for i in range(g)])
+
+    lo_ins = ([prep_lo(lo_ao2)] if lo_ao2 is not None else []) + [
+        prep_lo(lo_ao), prep_lo(lo_d)]
+
+    # hi depth -> 4 parity planes (4, lh, lw), row-padded to g*R
+    hid_planes = jnp.stack(
+        [hi_d[p::2, :][:, q::2] for p in (0, 1) for q in (0, 1)])
+    if pad_rows:
+        hid_planes = jnp.concatenate(
+            [hid_planes, jnp.tile(hid_planes[:, -1:, :], (1, pad_rows, 1))],
+            axis=1)
+
+    scalars = jnp.stack([
+        jnp.asarray(k_blur, jnp.float32),
+        jnp.asarray(k_up, jnp.float32),
+        jnp.asarray(nfs, jnp.float32),
+    ]).reshape(1, 3)
+
+    premin = lo_ao2 is not None
+    lo_spec = pl.BlockSpec((1, R + 3, lw + 3), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((4, R, lw), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_upsample_kernel, R, lw, premin),
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, 3), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [lo_spec] * len(lo_ins) + [plane_spec],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((4, g * R, lw), jnp.float32),
+        interpret=_use_interpret(),
+    )(scalars, *lo_ins, hid_planes)
+    planes = out[:, :lh, :]
+    # interleave parity planes -> (2lh, 2lw): (2,2,lh,lw) -> (lh,2,lw,2)
+    out = planes.reshape(2, 2, lh, lw).transpose(2, 0, 3, 1).reshape(
+        2 * lh, 2 * lw)
+    if hi_ao_blend is not None:
+        out = jnp.minimum(out, hi_ao_blend)
+    return out
+
+
+def render_ao_level(ds, level: int, full_width: int, camera, params,
+                    normals_ds=None, row_tile: int = 64):
+    """Pallas AO estimator; drop-in for tpuao.ops.render.render_ao_level."""
+    ds = ds.astype(jnp.float32)
+    if ds.ndim == 3:  # leading batch: vmap the 2-D kernel
+        fn = functools.partial(render_ao_level, level=level,
+                               full_width=full_width, camera=camera,
+                               params=params, row_tile=row_tile)
+        if normals_ds is None:
+            return jax.vmap(lambda d: fn(d))(ds)
+        return jax.vmap(lambda d, n: fn(d, normals_ds=n))(ds, normals_ds)
+
+    h, w = ds.shape
+    use_n = normals_ds is not None and params.use_normals
+    pairs = _pair_constants(params)
+    radius_coef = sphere_radius_coef(
+        level, full_width, camera.tan_half_fov_h, params.screenspace_diameter
+    )
+    texel_scale = 2.0 * camera.tan_half_fov_h / (full_width // (1 << level))
+
+    R = min(row_tile, h)
+    g = -(-h // R)
+    zp = pad_parity4(ds, HALO)
+    pad_rows = g * R - h
+    if pad_rows:
+        zp = jnp.concatenate([zp, jnp.tile(zp[-1:, :], (pad_rows, 1))], 0)
+    wins = [_row_windows(zp, g, R)]
+    if use_n:
+        for c in range(3):
+            npc = pad_parity4(normals_ds[..., c].astype(jnp.float32), HALO)
+            if pad_rows:
+                npc = jnp.concatenate(
+                    [npc, jnp.tile(npc[-1:, :], (pad_rows, 1))], 0)
+            wins.append(_row_windows(npc, g, R))
+
+    scalars = jnp.stack(
+        [jnp.asarray(params.rejection_falloff, jnp.float32),
+         jnp.asarray(params.strength, jnp.float32),
+         1.0 / jnp.asarray(radius_coef, jnp.float32),
+         jnp.asarray(texel_scale, jnp.float32)]
+    ).reshape(1, 4)
+
+    wpad = w + 2 * HALO
+    win_spec = pl.BlockSpec((1, R + 2 * HALO, wpad), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    kernel = functools.partial(_render_kernel, pairs, R, w, use_n)
+    out = pl.pallas_call(
+        kernel,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)]
+        + [win_spec] * len(wins),
+        out_specs=pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, R, w), jnp.float32),
+        interpret=_use_interpret(),
+    )(scalars, *wins)
+    return out.reshape(g * R, w)[:h]

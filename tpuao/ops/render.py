@@ -71,6 +71,10 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         n_z = jnp.maximum(window(npz, 0, 0), 0.05)
         grad = texel_scale / n_z
 
+    # NOTE: the naive 1 + (zs*inv_zc - 1)*inv_r form fuses best under XLA
+    # (an algebraic FMA refactor with per-entry a_i = inv_zc*inv_r temps
+    # measured ~2.5x slower -- XLA materializes the temps); the Pallas kernel
+    # uses the FMA form instead, where Mosaic keeps a_i in registers.
     vis = jnp.zeros_like(z_c)
     for (dx, dy, t, w_pair) in pairs:
         inv_r = 1.0 / (radius_coef * t)
@@ -79,7 +83,6 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         if use_n:
             rel = jnp.clip((n_x * dx + n_y * dy) * grad,
                            -radius_coef, radius_coef)
-            # d = 1 + (zs - z_c*(1 +- rel)) * inv_r / z_c
             d1 = 1.0 + (zs1 * inv_zc - (1.0 + rel)) * inv_r
             d2 = 1.0 + (zs2 * inv_zc - (1.0 - rel)) * inv_r
         else:
@@ -87,8 +90,8 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
             d2 = 1.0 + (zs2 * inv_zc - 1.0) * inv_r
         p1 = jnp.clip(falloff * d1, 0.0, 1.0)
         p2 = jnp.clip(falloff * d2, 0.0, 1.0)
-        pair_vis = jnp.clip(jnp.maximum(d1, p2), 0.0, 1.0) + jnp.clip(
-            jnp.maximum(d2, p1), 0.0, 1.0
+        pair_vis = jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2) + jnp.maximum(
+            jnp.clip(d2, 0.0, 1.0), p1
         )
         vis = vis + (0.5 * w_pair) * pair_vis
 

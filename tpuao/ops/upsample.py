@@ -47,40 +47,103 @@ def noise_filter(lo_ao, lo_d, noise_filter_strength):
     return acc / wacc
 
 
-def _up2_tap(x, dr, dc):
-    """hi[r, c] = lo_padded[r//2 + dr, c//2 + dc] for dr, dc in {0, 1}."""
+def _lo_tap(x, dr, dc):
+    """lo_padded[i + dr, j + dc] (edge pad bottom/right), same shape as x."""
     p = jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 1), (0, 1)], mode="edge")
     lh, lw = x.shape[-2:]
-    t = p[..., dr: dr + lh, dc: dc + lw]
-    return jnp.repeat(jnp.repeat(t, 2, axis=-2), 2, axis=-1)
+    return p[..., dr: dr + lh, dc: dc + lw]
 
 
 def bilateral_upsample2x(lo_ao, lo_d, hi_d, k_blur, k_up):
     """Corner-aligned depth-aware 2x upsample (spec: golden bilateral_upsample2x).
 
     w(tap) = bilinear * 1 / ((lo_d - hi_d)^2 / k_blur + k_up), normalized.
+
+    TPU-first formulation: instead of nearest-upsampling each tap to hi-res
+    (jnp.repeat relayouts dominated the frame cost), compute the four hi-res
+    *parity planes* at lo resolution -- each parity (p, q) has fixed bilinear
+    fractions (p/2, q/2), so only its non-zero taps are evaluated (1/2/2/4
+    taps instead of 4x4) -- then interleave once.  Bit-identical to the
+    golden: zero-bilinear taps contribute nothing there.
     """
     lo_ao = lo_ao.astype(jnp.float32)
     lo_d = lo_d.astype(jnp.float32)
     hi_d = hi_d.astype(jnp.float32)
-    hh, hw = hi_d.shape[-2:]
+    lh, lw = lo_d.shape[-2:]
+    lead = lo_d.shape[:-2]
 
-    fr = (jnp.arange(hh, dtype=jnp.float32) % 2) * 0.5  # 0, .5, 0, .5 ...
-    fc = (jnp.arange(hw, dtype=jnp.float32) % 2) * 0.5
-    acc = jnp.zeros_like(hi_d)
-    wacc = jnp.zeros_like(hi_d)
-    for dr in (0, 1):
-        wr = (1.0 - fr) if dr == 0 else fr
-        for dc in (0, 1):
-            wc = (1.0 - fc) if dc == 0 else fc
-            a = _up2_tap(lo_ao, dr, dc)
-            d = _up2_tap(lo_d, dr, dc)
-            bw = wr[:, None] * wc[None, :]
-            dd = d - hi_d
-            wt = bw / (dd * dd / k_blur + k_up)
-            acc = acc + wt * a
-            wacc = wacc + wt
-    return acc / jnp.maximum(wacc, 1e-30)
+    taps = {(dr, dc): (_lo_tap(lo_ao, dr, dc), _lo_tap(lo_d, dr, dc))
+            for dr in (0, 1) for dc in (0, 1)}
+
+    planes = []
+    for p in (0, 1):
+        hd_rows = hi_d[..., p::2, :]
+        for q in (0, 1):
+            hd = hd_rows[..., :, q::2]  # (lh, lw) hi depth at parity (p,q)
+            acc = jnp.zeros_like(hd)
+            wacc = jnp.zeros_like(hd)
+            for dr in (0, 1):
+                wr = 1.0 - p * 0.5 if dr == 0 else p * 0.5
+                if wr == 0.0:
+                    continue
+                for dc in (0, 1):
+                    wc = 1.0 - q * 0.5 if dc == 0 else q * 0.5
+                    if wc == 0.0:
+                        continue
+                    a, d = taps[(dr, dc)]
+                    dd = d - hd
+                    wt = (wr * wc) / (dd * dd / k_blur + k_up)
+                    acc = acc + wt * a
+                    wacc = wacc + wt
+            planes.append(acc / jnp.maximum(wacc, 1e-30))
+
+    # interleave the 4 parity planes: (2p+q) stacking -> (..., 2lh, 2lw)
+    st = jnp.stack(planes, axis=0).reshape((2, 2) + lead + (lh, lw))
+    n = len(lead)
+    # axes: (p, q, ..., i, j) -> (..., i, p, j, q)
+    perm = tuple(range(2, 2 + n)) + (2 + n, 0, 3 + n, 1)
+    return st.transpose(perm).reshape(lead + (2 * lh, 2 * lw))
+
+
+def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up):
+    """Parity-plane bilateral 2x from edge-extended (lh+1, lw+1) fields.
+
+    Same math as ``bilateral_upsample2x`` but taps are plain slices of the
+    pre-extended inputs (the spec's composition rule; see golden
+    blur_upsample_step docstring)."""
+    lh, lw = hi_d.shape[-2], hi_d.shape[-1]
+    lh, lw = lh // 2, lw // 2
+    lead = hi_d.shape[:-2]
+
+    taps = {(dr, dc): (f_ext[..., dr: dr + lh, dc: dc + lw],
+                       d_ext[..., dr: dr + lh, dc: dc + lw])
+            for dr in (0, 1) for dc in (0, 1)}
+    planes = []
+    for p in (0, 1):
+        hd_rows = hi_d[..., p::2, :]
+        for q in (0, 1):
+            hd = hd_rows[..., :, q::2]
+            acc = jnp.zeros_like(hd)
+            wacc = jnp.zeros_like(hd)
+            for dr in (0, 1):
+                wr = 1.0 - p * 0.5 if dr == 0 else p * 0.5
+                if wr == 0.0:
+                    continue
+                for dc in (0, 1):
+                    wc = 1.0 - q * 0.5 if dc == 0 else q * 0.5
+                    if wc == 0.0:
+                        continue
+                    a, d = taps[(dr, dc)]
+                    dd = d - hd
+                    wt = (wr * wc) / (dd * dd / k_blur + k_up)
+                    acc = acc + wt * a
+                    wacc = wacc + wt
+            planes.append(acc / jnp.maximum(wacc, 1e-30))
+
+    st = jnp.stack(planes, axis=0).reshape((2, 2) + lead + (lh, lw))
+    n = len(lead)
+    perm = tuple(range(2, 2 + n)) + (2 + n, 0, 3 + n, 1)
+    return st.transpose(perm).reshape(lead + (2 * lh, 2 * lw))
 
 
 def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
@@ -89,14 +152,19 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
 
     The 4 reference upsample kernel variants are selected by the optional
     args (SURVEY.md SS3.0/SS3.3); the main chain uses pre-min on every step
-    after the coarsest.
+    after the coarsest.  Edge handling follows the spec's edge-extended
+    composition (golden blur_upsample_step docstring).
     """
     if lo_ao2 is not None:
         lo_ao = jnp.minimum(lo_ao, lo_ao2)
     _, k_blur, k_up, nfs = upsample_constants(params, full_width,
                                               lo_d.shape[-1])
-    filtered = noise_filter(lo_ao, lo_d, nfs)
-    up = bilateral_upsample2x(filtered, lo_d, hi_d, k_blur, k_up)
+    pad = [(0, 0)] * (lo_ao.ndim - 2) + [(0, 1), (0, 1)]
+    ap = jnp.pad(lo_ao.astype(jnp.float32), pad, mode="edge")
+    dp = jnp.pad(lo_d.astype(jnp.float32), pad, mode="edge")
+    filtered = noise_filter(ap, dp, nfs)
+    up = _bilateral_upsample2x_ext(filtered, dp, hi_d.astype(jnp.float32),
+                                   k_blur, k_up)
     if hi_ao_blend is not None:
         up = jnp.minimum(up, hi_ao_blend)
     return up
