@@ -1,0 +1,54 @@
+"""Aux subsystem tests: quality presets, debug buffer dump (SURVEY.md SS6)."""
+
+import numpy as np
+import pytest
+
+from tpuao.models.presets import PRESETS, preset
+from tpuao.params import AOParams, CameraParams
+from tpuao.utils.debug_dump import dump_debug_buffers, load_debug_buffers
+from tpuao.utils import fixtures as F
+
+
+def test_presets():
+    assert preset("high") == AOParams()
+    assert preset("VERY_LOW").exhaustive is False
+    assert preset("ultra").use_normals is True
+    with pytest.raises(ValueError):
+        preset("nope")
+    assert len(PRESETS) == 5
+
+
+def test_preset_renders():
+    from tpuao.models.pipeline import render_frame
+
+    z = F.spheres_on_plane(64, 64, n_spheres=2, seed=1)
+    for name in ("VERY_LOW", "MEDIUM"):
+        ao = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
+                                     preset(name), impl="jnp"))
+        assert ao.shape == (64, 64)
+
+
+def test_debug_dump_roundtrip(tmp_path):
+    from tpuao.models.pipeline import render_frame
+
+    z = F.spheres_on_plane(64, 64, n_spheres=2, seed=1)
+    ao, dbg = render_frame(z, CameraParams(depth_mode="linear"), AOParams(),
+                           debug_outputs=True, impl="jnp")
+    path = str(tmp_path / "dump")
+    names = dump_debug_buffers(dbg, path)
+    assert any("linear_z" in n for n in names)
+    assert any("ao_levels" in n for n in names)
+    loaded = load_debug_buffers(
+        path if not path.endswith(".npz") else path)
+    # find linear_z under either naming scheme
+    key = next(k for k in loaded if "linear_z" in k)
+    np.testing.assert_allclose(loaded[key], np.asarray(dbg["linear_z"]))
+
+
+def test_debug_dump_npz(tmp_path):
+    d = {"a": np.ones((4, 4)), "nested": {"b": np.zeros((2, 2))}}
+    p = str(tmp_path / "x.npz")
+    names = dump_debug_buffers(d, p)
+    assert names == ["a", "nested/b"]
+    loaded = load_debug_buffers(p)
+    assert set(loaded) == {"a", "nested.b"}

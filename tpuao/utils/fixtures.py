@@ -59,6 +59,19 @@ def corner(h: int, w: int, z_base: float = 0.5, slope: float = 0.001) -> np.ndar
     return np.broadcast_to(z, (h, w)).astype(np.float64).copy()
 
 
+def sphere_scene_params(n_spheres: int, seed: int, plane_y: float = 1.5):
+    """Random sphere (centers, radii) resting on the ground plane."""
+    rng = np.random.default_rng(seed)
+    centers, radii = [], []
+    for _ in range(n_spheres):
+        r = rng.uniform(0.3, 0.9)
+        cx = rng.uniform(-3.0, 3.0)
+        cz = rng.uniform(4.0, 14.0)
+        centers.append((cx, plane_y - r, cz))
+        radii.append(r)
+    return np.array(centers, np.float64).reshape(-1, 3), np.array(radii)
+
+
 def spheres_on_plane(
     h: int,
     w: int,
@@ -66,25 +79,40 @@ def spheres_on_plane(
     n_spheres: int = 5,
     seed: int = 0,
     with_normals: bool = False,
+    backend: str = "auto",
 ):
     """Analytic ray-cast of random spheres resting on a ground plane.
 
     Camera at origin looking down +z (view direction), ground plane is
     y = +1.5 (buffer y points down, so the floor is below image center).
     Returns depth (H,W) [and normals (H,W,3) in buffer view space].
+
+    ``backend``: 'auto' uses the native C++ ray-caster (native/raycast.cpp,
+    bit-identical to the NumPy path) when it builds, else NumPy; 'numpy' /
+    'native' force a path.
     """
     camera = camera or GoldenCameraParams()
-    rng = np.random.default_rng(seed)
     tanh = float(np.asarray(camera.tan_half_fov_h))
     tanv = tanh * h / w
     far = float(np.asarray(camera.far))
+    plane_y = 1.5
+    centers_arr, radii_arr = sphere_scene_params(n_spheres, seed, plane_y)
+
+    if backend in ("auto", "native"):
+        from tpuao.utils.native import raycast_spheres_native
+
+        res = raycast_spheres_native(h, w, tanh, tanv, far, plane_y,
+                                     centers_arr, radii_arr, with_normals)
+        if res is not None:
+            return res
+        if backend == "native":
+            raise RuntimeError("native ray-caster unavailable (no g++?)")
 
     # Ray directions per pixel (unit z component form: dir = (u, v, 1)).
     u = (np.arange(w) + 0.5) / w * 2.0 - 1.0
     v = (np.arange(h) + 0.5) / h * 2.0 - 1.0
     U, V = np.meshgrid(u * tanh, v * tanv)
 
-    plane_y = 1.5
     # Ground plane y = plane_y (normal toward camera = -y in world = (0,-1,0);
     # buffer convention flips z: stored normal z is +toward camera).
     denom = np.where(np.abs(V) < 1e-6, 1e-6, V)
@@ -94,15 +122,9 @@ def spheres_on_plane(
     t_best = t_plane
     hit_id = np.where(np.isfinite(t_plane), -1, -2)  # -1 plane, -2 sky
 
-    centers = []
-    radii = []
-    for i in range(n_spheres):
-        r = rng.uniform(0.3, 0.9)
-        cx = rng.uniform(-3.0, 3.0)
-        cz = rng.uniform(4.0, 14.0)
-        cy = plane_y - r  # resting on the plane
-        centers.append((cx, cy, cz))
-        radii.append(r)
+    centers = [tuple(c) for c in centers_arr]
+    radii = list(radii_arr)
+    for i, ((cx, cy, cz), r) in enumerate(zip(centers, radii)):
         # |o + t*dir - c|^2 = r^2 with o=0, dir=(U,V,1) (not unit).
         a = U * U + V * V + 1.0
         b = -2.0 * (U * cx + V * cy + cz)
