@@ -74,6 +74,16 @@ def test_pallas_render_normals(ds):
     np.testing.assert_allclose(got, want, atol=TOL)
 
 
+def test_pallas_render_dma_matches_golden(ds):
+    # double-buffered HBM-tile variant ([BJ] config 4); depth-only path
+    got = np.asarray(PK.render_ao_level_dma(
+        jnp.asarray(ds, jnp.float32), 1, 192, CameraParams(), AOParams(),
+        row_tile=24))
+    want = G.render_ao_level(ds, 1, 192, GoldenCameraParams(),
+                             GoldenAOParams())
+    np.testing.assert_allclose(got, want, atol=TOL)
+
+
 def test_pallas_upsample_matches_golden(rng):
     lh, lw = 32, 48
     lo_d = rng.uniform(0.2, 0.8, (lh, lw))

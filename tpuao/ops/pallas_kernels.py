@@ -225,6 +225,114 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     return out
 
 
+def _render_kernel_dma(pairs, R, w, g, scal_ref, zp_hbm, o_ref, zbuf, sems):
+    """Double-buffered variant ([BJ] config 4 'double-buffered HBM tiles'):
+    the padded depth stays in HBM; each grid step DMAs its (R+2H, W) window
+    into one of two VMEM slots while the previous window computes.  Scratch
+    persists across the sequential TPU grid, which is what makes the
+    cross-step pipeline possible."""
+    i = pl.program_id(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def dma(step, slot):
+        return pltpu.make_async_copy(
+            zp_hbm.at[pl.ds(step * R, R + 2 * HALO), :],
+            zbuf.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        dma(0, cur).start()
+
+    @pl.when(i + 1 < g)
+    def _():
+        dma(i + 1, nxt).start()
+
+    dma(i, cur).wait()
+
+    falloff = scal_ref[0, 0]
+    strength = scal_ref[0, 1]
+    inv_rc = scal_ref[0, 2]
+    z = zbuf[cur]
+    zc = z[HALO: HALO + R, HALO: HALO + w]
+    inv_zc = 1.0 / zc
+    vis = jnp.zeros((R, w), jnp.float32)
+    prev_t = None
+    a_i = None
+    for (dx, dy, t, w_pair) in pairs:
+        inv_r = (1.0 / t) * inv_rc
+        if t != prev_t:
+            a_i = inv_zc * inv_r
+            prev_t = t
+        b_i = 1.0 - inv_r
+        d1 = z[HALO + dy: HALO + dy + R, HALO + dx: HALO + dx + w] * a_i + b_i
+        d2 = z[HALO - dy: HALO - dy + R, HALO - dx: HALO - dx + w] * a_i + b_i
+        p1 = jnp.clip(falloff * d1, 0.0, 1.0)
+        p2 = jnp.clip(falloff * d2, 0.0, 1.0)
+        vis = vis + (0.5 * w_pair) * (
+            jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2)
+            + jnp.maximum(jnp.clip(d2, 0.0, 1.0), p1))
+    vis = jnp.clip(vis, 0.0, 1.0)
+    o_ref[0] = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
+
+
+def render_ao_level_dma(ds, level: int, full_width: int, camera, params,
+                        row_tile: int = 128):
+    """Depth-only render with the double-buffered HBM-tile pipeline.
+
+    Unlike ``render_ao_level`` it never materializes overlapping row
+    windows on the host side -- the halo'd window is DMA'd per grid step --
+    so HBM traffic is a single read of the (padded) level plus the output
+    write.  Intended for the large levels of 4K+ frames.
+    """
+    ds = ds.astype(jnp.float32)
+    h, w = ds.shape
+    pairs = _pair_constants(params)
+    radius_coef = sphere_radius_coef(
+        level, full_width, camera.tan_half_fov_h, params.screenspace_diameter
+    )
+    R = min(row_tile, h)
+    g = -(-h // R)
+    zp = pad_parity4(ds, HALO)
+    pad_rows = g * R - h
+    if pad_rows:
+        zp = jnp.concatenate([zp, jnp.tile(zp[-1:, :], (pad_rows, 1))], 0)
+    # DMA slices must be lane-tile (128) aligned in the minor dimension
+    wpad = -(-(w + 2 * HALO) // 128) * 128
+    extra = wpad - (w + 2 * HALO)
+    if extra:
+        zp = jnp.concatenate(
+            [zp, jnp.tile(zp[:, -1:], (1, extra))], axis=1)
+
+    scalars = jnp.stack(
+        [jnp.asarray(params.rejection_falloff, jnp.float32),
+         jnp.asarray(params.strength, jnp.float32),
+         1.0 / jnp.asarray(radius_coef, jnp.float32),
+         jnp.asarray(0.0, jnp.float32)]
+    ).reshape(1, 4)
+    out = pl.pallas_call(
+        functools.partial(_render_kernel_dma, pairs, R, w, g),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, R, w), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, R + 2 * HALO, wpad), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(scalars, zp)
+    return out.reshape(g * R, w)[:h]
+
+
 def render_ao_level(ds, level: int, full_width: int, camera, params,
                     normals_ds=None, row_tile: int = 64):
     """Pallas AO estimator; drop-in for tpuao.ops.render.render_ao_level."""
