@@ -208,6 +208,18 @@ def test_normals_path_runs_and_differs():
     assert not np.allclose(ao0, ao1)
 
 
+def test_normals_grazing_plane_no_horizon_band():
+    # Regression: an empty ground plane viewed to the horizon must stay
+    # unoccluded under the normals path (hard tangent clamps produced a
+    # black horizon band; the soft clamp fades to depth-only behavior).
+    cam = GoldenCameraParams(depth_mode="linear")
+    z, n = F.spheres_on_plane(192, 256, cam, n_spheres=0, with_normals=True)
+    ao = G.render_frame_golden(z, cam, GoldenAOParams(use_normals=True),
+                               normals=n)
+    assert ao.min() > 0.75, ao.min()
+    assert ao.mean() > 0.97
+
+
 def test_normals_flat_wall_unchanged():
     # A camera-facing wall has zero tangent correction: normals path == plain.
     cam = GoldenCameraParams(depth_mode="linear")

@@ -1,0 +1,50 @@
+"""IO helpers + timing-utility smoke tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tpuao.utils.io import (
+    load_depth_image,
+    save_ao_image,
+    save_composite_image,
+)
+from tpuao.utils.profiling import device_time_ms
+
+
+def test_depth_image_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    ao = rng.uniform(size=(32, 48))
+    p = str(tmp_path / "ao.png")
+    save_ao_image(ao, p)
+    z = load_depth_image(p, near01=0.0, far01=1.0)
+    assert z.shape == (32, 48)
+    np.testing.assert_allclose(z, ao, atol=1 / 255.0 + 1e-9)
+
+
+def test_save_composite(tmp_path):
+    color = np.ones((16, 16, 3)) * 0.8
+    ao = np.full((16, 16), 0.5)
+    p = save_composite_image(color, ao, str(tmp_path / "c.png"))
+    z = load_depth_image(p, 0.0, 1.0)
+    np.testing.assert_allclose(z, 0.4, atol=1 / 255.0)
+
+
+def test_device_time_ms_smoke():
+    x = jnp.ones((64, 128), jnp.float32)
+    ms = device_time_ms(lambda a: a * 2.0 + 1.0, x, iters=4, repeats=1)
+    assert np.isfinite(ms)
+
+
+def test_demo_script(tmp_path):
+    import subprocess
+    import sys
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/demo.py", "96x128", str(tmp_path)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    for f in ("depth.png", "ao.png", "ao_normals.png", "ao_level1.png"):
+        assert (tmp_path / f).exists(), f

@@ -124,13 +124,22 @@ def pad_parity4(x: np.ndarray, pad: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def _tangent_offset(normals: np.ndarray, ox: int, oy: int, texel_scale: float,
-                    radius_coef: float) -> np.ndarray:
-    """Relative tangent-plane depth offset delta_z / z_c at texel offset
-    (ox, oy), clamped to +- the sphere radius coefficient."""
+                    half_chord: float) -> np.ndarray:
+    """Soft-clamped relative tangent-plane depth offset delta_z / z_c at
+    texel offset (ox, oy).
+
+    The raw planar prediction x = (nx*ox + ny*oy)/nz * texel_scale is passed
+    through x * m^2 / (m^2 + x^2) with m = half the pair chord: moderate
+    slopes get the full correction (x << m -> ~x), while grazing slopes fade
+    the correction to zero so the estimator degrades to the depth-only pair
+    rejection (a hard clamp instead shifts the expectation by up to a whole
+    radius and makes co-planar samples read as occluders -- a black horizon
+    band, found via the demo render)."""
     nx, ny, nz = normals[..., 0], normals[..., 1], normals[..., 2]
     nz = np.maximum(nz, 0.05)
-    rel = (nx * ox + ny * oy) / nz * texel_scale
-    return np.clip(rel, -radius_coef, radius_coef)
+    x = (nx * ox + ny * oy) / nz * texel_scale
+    m2 = half_chord * half_chord
+    return x * m2 / (m2 + x * x)
 
 
 def render_ao_level(
@@ -199,7 +208,8 @@ def render_ao_level(
         zs2 = window(zp, -dy, -dx)
         if npad is not None:
             n_c = np.stack([window(npad[..., c], 0, 0) for c in range(3)], -1)
-            rel1 = _tangent_offset(n_c, dx, dy, texel_scale, radius_coef)
+            rel1 = _tangent_offset(n_c, dx, dy, texel_scale,
+                                   0.5 * radius_coef * t)
             rel2 = -rel1
             zref1 = z_c * (1.0 + rel1)
             zref2 = z_c * (1.0 + rel2)

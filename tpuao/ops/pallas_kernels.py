@@ -84,8 +84,10 @@ def _render_kernel(pairs, R, w, use_normals, scal_ref, z_ref, *rest):
         zs1 = z[HALO + dy: HALO + dy + R, HALO + dx: HALO + dx + w]
         zs2 = z[HALO - dy: HALO - dy + R, HALO - dx: HALO - dx + w]
         if use_normals:
-            rel = jnp.clip((n_x * dx + n_y * dy) * grad,
-                           -radius_coef, radius_coef)
+            # soft-clamped tangent correction (see golden _tangent_offset)
+            x = (n_x * dx + n_y * dy) * grad
+            m2 = (0.5 * t) ** 2 * (radius_coef * radius_coef)
+            rel = x * m2 / (m2 + x * x)
             d1 = zs1 * a_i + (b_i - rel * inv_r)
             d2 = zs2 * a_i + (b_i + rel * inv_r)
         else:

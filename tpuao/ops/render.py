@@ -81,8 +81,10 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         zs1 = window(zp, dy, dx)
         zs2 = window(zp, -dy, -dx)
         if use_n:
-            rel = jnp.clip((n_x * dx + n_y * dy) * grad,
-                           -radius_coef, radius_coef)
+            # soft-clamped tangent correction (see golden _tangent_offset)
+            x = (n_x * dx + n_y * dy) * grad
+            m2 = (0.5 * radius_coef * t) ** 2
+            rel = x * m2 / (m2 + x * x)
             d1 = 1.0 + (zs1 * inv_zc - (1.0 + rel)) * inv_r
             d2 = 1.0 + (zs2 * inv_zc - (1.0 - rel)) * inv_r
         else:
