@@ -143,6 +143,76 @@ def test_debug_outputs():
     assert dbg["combined_0"].shape == (64, 64)
 
 
+def test_blendout_wiring_identical():
+    # The PreMin and BlendOut upsample variants compose to the SAME chain
+    # (the min migrates across the step boundary); the reference's two
+    # kernels are alternative fusions of one computation.  Verify on a
+    # worst-case noise field where the min binds aggressively.
+    rng = np.random.default_rng(0)
+    z = rng.uniform(0.1, 0.9, (128, 192))
+    par = GoldenAOParams()
+    cam = GoldenCameraParams(depth_mode="linear")
+    pyr = G.build_pyramid(z, 4)
+    aos = {l: G.render_ao_level(pyr[l], l, 192, cam, par)
+           for l in range(1, 5)}
+    premin = aos[4]
+    for l in range(4, 0, -1):
+        premin = G.blur_upsample_step(
+            premin, pyr[l], pyr[l - 1], par, 192,
+            lo_ao2=aos[l] if l != 4 else None)
+    blend = aos[4]
+    for l in range(4, 0, -1):
+        blend = G.blur_upsample_step(
+            blend, pyr[l], pyr[l - 1], par, 192,
+            hi_ao_blend=aos.get(l - 1))
+    np.testing.assert_array_equal(premin, blend)
+    # sanity: the min does bind (both differ from the no-min chain)
+    plain = aos[4]
+    for l in range(4, 0, -1):
+        plain = G.blur_upsample_step(plain, pyr[l], pyr[l - 1], par, 192)
+    assert np.abs(plain - premin).max() > 0.1
+
+
+def test_param_fuzz_matches_golden():
+    # random tunables across their full ranges: jnp pipeline must track the
+    # golden spec everywhere, not just at defaults (SURVEY.md SS5.4)
+    from tpuao.params import PARAM_RANGES, to_golden
+
+    rng = np.random.default_rng(99)
+    z = _scene(96, 128)
+    cam_j = CameraParams(depth_mode="linear")
+    for trial in range(6):
+        kw = {name: float(rng.uniform(lo, hi))
+              for name, (lo, hi) in PARAM_RANGES.items()}
+        par = AOParams(
+            hierarchy_depth=int(rng.integers(1, 5)),
+            exhaustive=bool(rng.integers(0, 2)),
+            **kw).validate()
+        gp, gc = to_golden(par, cam_j)
+        got = np.asarray(render_frame(z, cam_j, par, impl="jnp"))
+        want = G.render_frame_golden(z, gc, gp)
+        assert np.all((got >= 0) & (got <= 1))
+        np.testing.assert_allclose(got, want, atol=5e-4,
+                                   err_msg=str(par))
+
+
+def test_pipeline_on_image_depth(tmp_path):
+    # SURVEY.md SS5.3: procedural depth from an image file
+    from tpuao.utils.io import load_depth_image, save_ao_image
+
+    rng = np.random.default_rng(5)
+    img = (rng.uniform(0.2, 0.9, (80, 120)) * 255).astype(np.uint8)
+    from PIL import Image
+
+    p = str(tmp_path / "d.png")
+    Image.fromarray(img).save(p)
+    z = load_depth_image(p)
+    ao = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
+                                 AOParams(), impl="jnp"))
+    assert ao.shape == z.shape
+    save_ao_image(ao, str(tmp_path / "ao.png"))
+
+
 def test_enable_blur_false():
     z = _scene(64, 64)
     ao = np.asarray(render_frame(

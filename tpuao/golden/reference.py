@@ -417,12 +417,18 @@ def render_frame_golden(
         ao = ao[:h0, :w0]
         return (ao, debug) if return_debug else ao
 
+    # Chain uses the PreMin variant throughout.  NOTE: wiring the chain with
+    # BlendOut instead (plain step, then min with AO_{l-1} at the hi level)
+    # is algebraically IDENTICAL -- the min just migrates across the step
+    # boundary -- which is why the upstream ships both kernel variants: they
+    # are alternative fusions of the same chain (tested in
+    # tests/test_pipeline.py::test_blendout_wiring_identical).
     combined = aos[d]
     for l in range(d, 0, -1):
-        lo2 = aos[l] if l != d else None
         hi_d = pyr[l - 1]
         combined = blur_upsample_step(
-            combined, pyr[l], hi_d, params, wp, lo_ao2=lo2
+            combined, pyr[l], hi_d, params, wp,
+            lo_ao2=aos[l] if l != d else None,
         )
         debug[f"combined_{l-1}"] = combined
     ao = combined[:h0, :w0]

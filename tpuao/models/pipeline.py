@@ -108,16 +108,14 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
         ao = jnp.repeat(jnp.repeat(aos[1], 2, axis=-2), 2, axis=-1)
         return ao[..., :h0, :w0], debug
 
+    # PreMin chain; a BlendOut wiring is algebraically identical (see golden
+    # render_frame_golden note + test_blendout_wiring_identical).
     upsample_step = _select_upsample_impl(impl)
     combined = aos[d]
     for l in range(d, 0, -1):
         with jax.named_scope(f"ao_upsample_l{l}"):
             combined = upsample_step(
-                combined,
-                pyr[l],
-                pyr[l - 1],
-                params,
-                wp,
+                combined, pyr[l], pyr[l - 1], params, wp,
                 lo_ao2=aos[l] if l != d else None,
             )
         debug[f"combined_{l-1}"] = combined
