@@ -127,3 +127,33 @@ def test_full_pipeline_impl_pallas():
     b = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
                                 AOParams(), impl="pallas"))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_full_pipeline_impl_fused():
+    # fused render+premin+filter+upsample chain kernel
+    z = F.spheres_on_plane(128, 192, n_spheres=4, seed=3)
+    from tpuao.models.pipeline import render_frame
+
+    a = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
+                                AOParams(), impl="jnp"))
+    b = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
+                                AOParams(), impl="fused"))
+    np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_fused_step_uneven_tiles(rng):
+    from tpuao.ops import pallas_kernels as PK
+    from tpuao.ops import render as R
+    from tpuao.ops import upsample as U
+
+    lh, lw = 44, 64  # not divisible by row_tile
+    ds = jnp.asarray(rng.uniform(0.2, 0.8, (lh, lw)), jnp.float32)
+    hi = jnp.asarray(rng.uniform(0.2, 0.8, (2 * lh, 2 * lw)), jnp.float32)
+    c1 = jnp.asarray(rng.uniform(0.3, 1.0, (lh, lw)), jnp.float32)
+    cam, par = CameraParams(), AOParams()
+    aos1 = R.render_ao_level(ds, 1, 2 * lw, cam, par)
+    want = np.asarray(U.blur_upsample_step(c1, ds, hi, par, 2 * lw,
+                                           lo_ao2=aos1))
+    got = np.asarray(PK.fused_render_upsample_step(ds, c1, hi, 1, 2 * lw,
+                                                   cam, par, row_tile=16))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)

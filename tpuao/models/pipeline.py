@@ -96,8 +96,15 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
         else:
             npyr = [None] * (d + 1)
 
+    # impl="fused": the per-level render is fused with its chain step in one
+    # Pallas kernel (depth-only; normals fall back), so only the coarsest
+    # level renders standalone.
+    fused = (impl == "fused" and not (params.use_normals and npad is not None)
+             and params.enable_blur)
     aos = {}
     for l in range(1, d + 1):
+        if fused and l != d:
+            continue
         with jax.named_scope(f"ao_render_l{l}"):
             aos[l] = render_level(pyr[l], l, wp, camera, params, npyr[l])
 
@@ -110,15 +117,27 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
 
     # PreMin chain; a BlendOut wiring is algebraically identical (see golden
     # render_frame_golden note + test_blendout_wiring_identical).
-    upsample_step = _select_upsample_impl(impl)
     combined = aos[d]
-    for l in range(d, 0, -1):
-        with jax.named_scope(f"ao_upsample_l{l}"):
-            combined = upsample_step(
-                combined, pyr[l], pyr[l - 1], params, wp,
-                lo_ao2=aos[l] if l != d else None,
-            )
-        debug[f"combined_{l-1}"] = combined
+    if fused:
+        from tpuao.ops import pallas_kernels as PK
+
+        combined = U.blur_upsample_step(combined, pyr[d], pyr[d - 1],
+                                        params, wp)
+        debug[f"combined_{d-1}"] = combined
+        for l in range(d - 1, 0, -1):
+            with jax.named_scope(f"ao_fused_l{l}"):
+                combined = PK.fused_render_upsample_step(
+                    pyr[l], combined, pyr[l - 1], l, wp, camera, params)
+            debug[f"combined_{l-1}"] = combined
+    else:
+        upsample_step = _select_upsample_impl(impl)
+        for l in range(d, 0, -1):
+            with jax.named_scope(f"ao_upsample_l{l}"):
+                combined = upsample_step(
+                    combined, pyr[l], pyr[l - 1], params, wp,
+                    lo_ao2=aos[l] if l != d else None,
+                )
+            debug[f"combined_{l-1}"] = combined
     return combined[..., :h0, :w0], debug
 
 

@@ -227,6 +227,201 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     return out
 
 
+def _fused_l1_kernel(pairs, R, lw, lh, scal_ref, zwin_ref, dwin_ref,
+                     c1win_ref, hid_ref, out_ref, ao_scratch):
+    """Fused final chain section: AoRender(level) + premin + noise filter +
+    bilateral 2x upsample in one VMEM pass (SURVEY.md SS4.2's two hottest
+    dispatches fused; the [BJ] 'fused prepare+render+upsample' direction).
+
+    Per grid step (lo-res row tile R):
+      zwin  (1, R+3+2H, lw+2H'):  parity-padded depth for the render stencil,
+            rows cover rendered ext rows [iR-1, iR+R+2)
+      dwin  (1, R+3, lw+3): edge-padded depth for filter/upsample taps
+      c1win (1, R+3, lw+3): edge-padded combined-from-below AO
+      hid   (4, R, lw): hi-res depth parity planes
+      out   (4, R, lw): final AO parity planes
+
+    The spec defines chain edge handling as edge replication of the AO
+    *array*; interior tiles render their ext rows for real, and the frame's
+    first/last rows are fixed up with masked row substitution so the kernel
+    is bit-compatible with the unfused path everywhere.
+    """
+    H2 = 20  # parity pad of zwin (16 render halo + 4 alignment margin)
+    falloff = scal_ref[0, 0]
+    strength = scal_ref[0, 1]
+    inv_rc = scal_ref[0, 2]
+    k_blur = scal_ref[0, 4]
+    k_up = scal_ref[0, 5]
+    nfs = scal_ref[0, 6]
+
+    i = pl.program_id(0)
+    z = zwin_ref[0]
+    nrows = R + 3  # rendered ext rows [iR-1, iR+R+2)
+    # row base 16 (window rows start at ext row iR-17), col base H2
+    zc = z[16: 16 + nrows, H2: H2 + lw]
+    inv_zc = 1.0 / zc
+    vis = jnp.zeros((nrows, lw), jnp.float32)
+    prev_t = None
+    a_i = None
+    for (dx, dy, t, w_pair) in pairs:
+        inv_r = (1.0 / t) * inv_rc
+        if t != prev_t:
+            a_i = inv_zc * inv_r
+            prev_t = t
+        b_i = 1.0 - inv_r
+        d1 = z[16 + dy: 16 + dy + nrows, H2 + dx: H2 + dx + lw] * a_i + b_i
+        d2 = z[16 - dy: 16 - dy + nrows, H2 - dx: H2 - dx + lw] * a_i + b_i
+        p1 = jnp.clip(falloff * d1, 0.0, 1.0)
+        p2 = jnp.clip(falloff * d2, 0.0, 1.0)
+        vis = vis + (0.5 * w_pair) * (
+            jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2)
+            + jnp.maximum(jnp.clip(d2, 0.0, 1.0), p1))
+    vis = jnp.clip(vis, 0.0, 1.0)
+    ao = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
+
+    # --- frame-edge fixups: ext rows outside [0, lh) take the edge row
+    # (dynamic row picks go through VMEM scratch: Mosaic has no
+    # dynamic_slice on values) ---
+    slot_global = (
+        jax.lax.broadcasted_iota(jnp.int32, (nrows, lw), 0) + i * R - 1)
+    ao_scratch[:] = ao
+    top_row = ao_scratch[pl.ds(jnp.clip(1 - i * R, 0, nrows - 1), 1), :]
+    bot_row = ao_scratch[pl.ds(jnp.clip(lh - i * R, 0, nrows - 1), 1), :]
+    ao = jnp.where(slot_global < 0, top_row, ao)
+    ao = jnp.where(slot_global > lh - 1, bot_row, ao)
+    # column ext: [-1, lw+1] via edge replication -> (nrows, lw+3)
+    ao = jnp.concatenate(
+        [ao[:, :1], ao, ao[:, lw - 1:], ao[:, lw - 1:]], axis=1)
+
+    # --- premin + noise filter on ext rows [iR, iR+R] ---
+    lo_a = jnp.minimum(ao, c1win_ref[0])
+    lo_d = dwin_ref[0]
+    fr_, fc_ = R + 1, lw + 1
+    dc_c = lo_d[1: 1 + fr_, 1: 1 + fc_]
+    acc = jnp.zeros((fr_, fc_), jnp.float32)
+    wacc = jnp.zeros((fr_, fc_), jnp.float32)
+    for dy, dx, gw in ((-1, -1, 1.), (-1, 0, 2.), (-1, 1, 1.),
+                       (0, -1, 2.), (0, 0, 4.), (0, 1, 2.),
+                       (1, -1, 1.), (1, 0, 2.), (1, 1, 1.)):
+        a_n = lo_a[1 + dy: 1 + dy + fr_, 1 + dx: 1 + dx + fc_]
+        d_n = lo_d[1 + dy: 1 + dy + fr_, 1 + dx: 1 + dx + fc_]
+        dd = d_n - dc_c
+        wt = gw / (1.0 + nfs * dd * dd)
+        acc += wt * a_n
+        wacc += wt
+    filtered = acc / wacc
+
+    # --- bilateral 2x to parity planes ---
+    for p in (0, 1):
+        for q in (0, 1):
+            hd = hid_ref[2 * p + q]
+            up_acc = jnp.zeros((R, lw), jnp.float32)
+            up_w = jnp.zeros((R, lw), jnp.float32)
+            for dr in (0, 1):
+                wr = 1.0 - p * 0.5 if dr == 0 else p * 0.5
+                if wr == 0.0:
+                    continue
+                for dc in (0, 1):
+                    wc = 1.0 - q * 0.5 if dc == 0 else q * 0.5
+                    if wc == 0.0:
+                        continue
+                    a = filtered[dr: dr + R, dc: dc + lw]
+                    d = lo_d[1 + dr: 1 + dr + R, 1 + dc: 1 + dc + lw]
+                    dd = d - hd
+                    wt = (wr * wc) / (dd * dd / k_blur + k_up)
+                    up_acc += wt * a
+                    up_w += wt
+            out_ref[2 * p + q] = up_acc / jnp.maximum(up_w, 1e-30)
+
+
+def fused_render_upsample_step(ds, c1, hi_d, level: int, full_width: int,
+                               camera, params, row_tile: int = 64):
+    """Fused AoRender(level) + pre-min + AoBlurUpsample step.
+
+    ``ds``: depth at the step's lo level; ``c1``: combined AO from below
+    (same shape); ``hi_d``: depth at the hi level.  Returns the hi-res AO.
+    Bit-compatible with render_ao_level + blur_upsample_step composition.
+    """
+    from tpuao.params import upsample_constants
+
+    ds = ds.astype(jnp.float32)
+    c1 = c1.astype(jnp.float32)
+    hi_d = hi_d.astype(jnp.float32)
+    lh, lw = ds.shape
+    pairs = _pair_constants(params)
+    radius_coef = sphere_radius_coef(
+        level, full_width, camera.tan_half_fov_h, params.screenspace_diameter
+    )
+    _, k_blur, k_up, nfs = upsample_constants(params, full_width, lw)
+
+    R = min(row_tile, lh)
+    g = -(-lh // R)
+    pad_rows = g * R - lh
+    H2 = 20
+
+    # zwin: parity-padded depth; window i rows = zp[iR+H2-1-16 ... ] such
+    # that rendered slot s (ext row iR-1+s) centers at zp row iR-1+s+H2.
+    zp = pad_parity4(ds, H2)
+    if pad_rows + 2 > 0:  # rendered ext rows reach iR+R+1 <= lh+pad_rows+1
+        zp = jnp.concatenate(
+            [zp, jnp.tile(zp[-1:, :], (pad_rows + 4, 1))], 0)
+    zwin = jnp.stack(
+        [zp[i * R + H2 - 1 - 16: i * R + H2 - 1 - 16 + (R + 3) + 32, :]
+         for i in range(g)])
+
+    def prep_lo(x):
+        x = jnp.pad(x, [(1, 2 + pad_rows), (1, 2)], mode="edge")
+        return jnp.stack([x[i * R: i * R + R + 3, :] for i in range(g)])
+
+    dwin = prep_lo(ds)
+    c1win = prep_lo(c1)
+
+    hid_planes = jnp.stack(
+        [hi_d[p::2, :][:, q::2] for p in (0, 1) for q in (0, 1)])
+    if pad_rows:
+        hid_planes = jnp.concatenate(
+            [hid_planes, jnp.tile(hid_planes[:, -1:, :], (1, pad_rows, 1))],
+            axis=1)
+
+    scalars = jnp.stack([
+        jnp.asarray(params.rejection_falloff, jnp.float32),
+        jnp.asarray(params.strength, jnp.float32),
+        1.0 / jnp.asarray(radius_coef, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(k_blur, jnp.float32),
+        jnp.asarray(k_up, jnp.float32),
+        jnp.asarray(nfs, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+    ]).reshape(1, 8)
+
+    zw_h = (R + 3) + 32
+    lo_spec = pl.BlockSpec((1, R + 3, lw + 3), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    plane_spec = pl.BlockSpec((4, R, lw), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_l1_kernel, pairs, R, lw, lh),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, zw_h, lw + 2 * H2), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            lo_spec,
+            lo_spec,
+            plane_spec,
+        ],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((4, g * R, lw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R + 3, lw), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(scalars, zwin, dwin, c1win, hid_planes)
+    planes = out[:, :lh, :]
+    return planes.reshape(2, 2, lh, lw).transpose(2, 0, 3, 1).reshape(
+        2 * lh, 2 * lw)
+
+
 def _render_kernel_dma(pairs, R, w, g, scal_ref, zp_hbm, o_ref, zbuf, sems):
     """Double-buffered variant ([BJ] config 4 'double-buffered HBM tiles'):
     the padded depth stays in HBM; each grid step DMAs its (R+2H, W) window
