@@ -5,6 +5,10 @@
 Usage: python benchmarks/profile_stages.py [HxW] [--normals] [--impl jnp]
 Prints a table of ms per pipeline stage measured on the default backend
 with the chained-device-time methodology (utils/profiling.py).
+
+NOTE: the two-point RTT cancellation has a ~+-0.05 ms noise floor on the
+relayed TPU backend, so sub-0.05 ms stages can read as small negative
+numbers; treat those as "below measurement floor".
 """
 
 from __future__ import annotations

@@ -213,6 +213,21 @@ def test_pipeline_on_image_depth(tmp_path):
     save_ao_image(ao, str(tmp_path / "ao.png"))
 
 
+def test_low_precision_depth_inputs():
+    # f16/bf16 depth buffers are accepted and cast up to f32
+    import jax.numpy as jnp
+
+    z = _scene(64, 64).astype(np.float32)
+    ref = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
+                                  AOParams(), impl="jnp"))
+    for dt in (jnp.bfloat16, jnp.float16):
+        ao = np.asarray(render_frame(jnp.asarray(z, dt),
+                                     CameraParams(depth_mode="linear"),
+                                     AOParams(), impl="jnp"))
+        assert ao.dtype == np.float32
+        assert np.abs(ao - ref).max() < 0.05  # input quantization only
+
+
 def test_enable_blur_false():
     z = _scene(64, 64)
     ao = np.asarray(render_frame(
