@@ -1,0 +1,74 @@
+"""Spatial row-band sharding tests (8-device CPU mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpuao.models.pipeline import render_frame
+from tpuao.parallel.spatial import (
+    HALO_ROWS,
+    make_row_mesh,
+    render_frame_spatial,
+)
+from tpuao.params import AOParams, CameraParams
+from tpuao.utils import fixtures as F
+
+
+H, W = 3072, 128  # H divisible by 64*8; bands 384 >= HALO 320
+
+
+@pytest.fixture(scope="module")
+def depth():
+    return F.spheres_on_plane(H, W, n_spheres=5, seed=6).astype(np.float32)
+
+
+def test_spatial_matches_padded_single_device(depth):
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    mesh = make_row_mesh(8)
+    out = render_frame_spatial(depth, cam, par, mesh=mesh, impl="jnp")
+    assert out.shape == (H, W)
+    # reference: single-device pipeline on the HALO-padded frame, cropped
+    padded = np.concatenate(
+        [np.tile(depth[:1], (HALO_ROWS, 1)), depth,
+         np.tile(depth[-1:], (HALO_ROWS, 1))], axis=0)
+    want = np.asarray(render_frame(padded, cam, par, impl="jnp"))[
+        HALO_ROWS: HALO_ROWS + H]
+    np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
+
+
+def test_spatial_interior_matches_plain(depth):
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    out = np.asarray(render_frame_spatial(depth, cam, par,
+                                          mesh=make_row_mesh(8), impl="jnp"))
+    plain = np.asarray(render_frame(depth, cam, par, impl="jnp"))
+    # away from top/bottom frame edges the two edge conventions agree
+    np.testing.assert_allclose(out[400:-400], plain[400:-400], atol=1e-5)
+
+
+def test_spatial_collectives_are_neighbor_only(depth):
+    cam = CameraParams(depth_mode="linear")
+    mesh = make_row_mesh(8)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuao.parallel.spatial import ROW_AXIS
+    import tpuao.parallel.spatial as S
+
+    spec = NamedSharding(mesh, P(ROW_AXIS, None))
+    d = jax.device_put(jnp.asarray(depth), spec)
+
+    def f(d):
+        return render_frame_spatial(d, cam, AOParams(), mesh=mesh,
+                                    impl="jnp")
+
+    hlo = jax.jit(lambda d: f(d)).lower(d).compile().as_text()
+    assert "collective-permute" in hlo  # the halo exchange
+    for coll in ("all-reduce", "all-gather", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, coll
+
+
+def test_spatial_requires_aligned_height():
+    with pytest.raises(AssertionError):
+        render_frame_spatial(np.ones((100, 128), np.float32),
+                             mesh=make_row_mesh(4))

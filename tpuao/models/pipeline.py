@@ -141,16 +141,32 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
     return combined[..., :h0, :w0], debug
 
 
-@functools.partial(
-    jax.jit, static_argnames=("debug_outputs", "impl")
-)
-def _render_frame_jit(depth, camera, params, normals, color,
-                      debug_outputs: bool, impl: str):
+def _render_frame_impl(depth, camera, params, normals, color,
+                       debug_outputs: bool, impl: str):
     ao, debug = ao_pipeline(depth, camera, params, normals, impl=impl)
     out = ao if color is None else C.composite(color, ao)
     if debug_outputs:
         return out, debug
     return out
+
+
+from tpuao.utils.xla_opts import tpu_compiler_options  # noqa: E402
+
+
+@functools.lru_cache(maxsize=None)
+def _render_frame_jit_for_backend(backend: str):
+    return jax.jit(
+        _render_frame_impl,
+        static_argnames=("debug_outputs", "impl"),
+        compiler_options=tpu_compiler_options(),
+    )
+
+
+def _render_frame_jit(depth, camera, params, normals, color,
+                      debug_outputs: bool, impl: str):
+    fn = _render_frame_jit_for_backend(jax.default_backend())
+    return fn(depth, camera, params, normals, color,
+              debug_outputs=debug_outputs, impl=impl)
 
 
 def render_frame(depth, camera=None, params=None, normals=None, color=None,

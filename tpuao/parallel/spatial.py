@@ -1,0 +1,93 @@
+"""Spatial (row-band) sharding of ONE large frame across a chip mesh.
+
+SURVEY.md SS6 'Long-context / sequence parallelism': the reference has no
+sequences; its structural analog is scaling the *pixel* dimension.  For
+frames too large for one chip (or latency-critical single frames), the image
+is sharded into horizontal bands over a 1-D mesh, and each chip exchanges a
+fixed halo band with its neighbors over ICI via ``jax.lax.ppermute`` -- the
+only collectives in the program, each moving HALO*W floats to an adjacent
+chip.  AO stencils are local (max reach ~300 full-res rows through the
+4-level hierarchy), so no ring/all-gather is ever needed.
+
+Edge semantics: the frame is treated as edge-replicated by HALO rows at the
+top/bottom (chips 0 / n-1 synthesize their outer halo by replicating their
+boundary row).  The result is therefore bit-equal to running the
+single-device pipeline on the HALO-padded frame and cropping -- which is
+what the correctness test asserts -- and differs from the unpadded
+single-device pipeline only within stencil reach of the top/bottom frame
+edges.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuao.models.pipeline import ao_pipeline
+from tpuao.params import AOParams, CameraParams
+
+ROW_AXIS = "rows"
+
+# Halo rows exchanged with each neighbor: must be a multiple of 64 (keeps
+# every pyramid level's downsample grid aligned with the global frame) and
+# >= the pipeline's total stencil reach (render level 4: 16 slice texels *
+# 16 = 256 full-res rows; + upsample-chain filter reach ~48).
+HALO_ROWS = 320
+
+
+def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (ROW_AXIS,))
+
+
+def render_frame_spatial(depth, camera=None, params=None,
+                         mesh: Mesh | None = None, impl: str = "jnp"):
+    """Render one (H, W) frame sharded into row bands across ``mesh``.
+
+    Requires H to be divisible by 64 * mesh size (pad/crop upstream
+    otherwise).  Returns the full-res AO with the same row sharding.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    mesh = mesh or make_row_mesh()
+    n = mesh.devices.size
+    h, w = depth.shape
+    assert h % (64 * n) == 0, (
+        f"H={h} must be a multiple of 64*mesh ({64 * n}); pad the frame")
+    assert h // n >= HALO_ROWS, (
+        f"band height {h // n} < halo {HALO_ROWS}: the single-neighbor "
+        f"exchange needs bands at least one halo tall (use fewer chips)")
+
+    spec = NamedSharding(mesh, P(ROW_AXIS, None))
+    depth = jax.device_put(jnp.asarray(depth, jnp.float32), spec)
+    halo = HALO_ROWS
+
+    def per_chip(d_local):
+        d_local = d_local  # (h/n, W)
+        idx = lax.axis_index(ROW_AXIS)
+        # halo from the chip above (its bottom rows) and below (its top rows)
+        from_above = lax.ppermute(
+            d_local[-halo:, :], ROW_AXIS,
+            perm=[(i, i + 1) for i in range(n - 1)])
+        from_below = lax.ppermute(
+            d_local[:halo, :], ROW_AXIS,
+            perm=[(i + 1, i) for i in range(n - 1)])
+        # frame edges: replicate the boundary row (see module docstring)
+        top_edge = jnp.tile(d_local[:1, :], (halo, 1))
+        bot_edge = jnp.tile(d_local[-1:, :], (halo, 1))
+        top = jnp.where(idx == 0, top_edge, from_above)
+        bot = jnp.where(idx == n - 1, bot_edge, from_below)
+        ext = jnp.concatenate([top, d_local, bot], axis=0)
+        ao_ext = ao_pipeline(ext, camera, params, None, impl=impl)[0]
+        return ao_ext[halo: halo + d_local.shape[0], :]
+
+    fn = jax.shard_map(per_chip, mesh=mesh, in_specs=P(ROW_AXIS, None),
+                       out_specs=P(ROW_AXIS, None))
+    return jax.jit(fn)(depth)

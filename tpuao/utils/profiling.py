@@ -48,7 +48,10 @@ def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3) -> float:
 
         return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
-    compiled = jax.jit(chained, static_argnums=0)
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    compiled = jax.jit(chained, static_argnums=0,
+                       compiler_options=tpu_compiler_options())
     float(compiled(1, *args))
     float(compiled(iters, *args))
     samples = []
