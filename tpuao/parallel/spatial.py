@@ -48,26 +48,30 @@ def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 
 def render_frame_spatial(depth, camera=None, params=None,
-                         mesh: Mesh | None = None, impl: str = "jnp"):
+                         mesh: Mesh | None = None, impl: str = "jnp",
+                         halo_rows: int = HALO_ROWS):
     """Render one (H, W) frame sharded into row bands across ``mesh``.
 
     Requires H to be divisible by 64 * mesh size (pad/crop upstream
     otherwise).  Returns the full-res AO with the same row sharding.
+    ``halo_rows`` below HALO_ROWS trades band-boundary exactness for
+    smaller exchanges (compile-validation dryruns use 64).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
     mesh = mesh or make_row_mesh()
     n = mesh.devices.size
     h, w = depth.shape
+    assert halo_rows % 64 == 0, halo_rows
     assert h % (64 * n) == 0, (
         f"H={h} must be a multiple of 64*mesh ({64 * n}); pad the frame")
-    assert h // n >= HALO_ROWS, (
-        f"band height {h // n} < halo {HALO_ROWS}: the single-neighbor "
+    assert h // n >= halo_rows, (
+        f"band height {h // n} < halo {halo_rows}: the single-neighbor "
         f"exchange needs bands at least one halo tall (use fewer chips)")
 
     spec = NamedSharding(mesh, P(ROW_AXIS, None))
     depth = jax.device_put(jnp.asarray(depth, jnp.float32), spec)
-    halo = HALO_ROWS
+    halo = halo_rows
 
     def per_chip(d_local):
         d_local = d_local  # (h/n, W)
