@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 
 import numpy as np
 
@@ -27,7 +26,7 @@ import jax.numpy as jnp
 from tpuao.golden import reference as G
 from tpuao.models.pipeline import ao_pipeline, single_scale_ao
 from tpuao.params import AOParams, CameraParams, to_golden
-from tpuao.parallel.sharding import make_mesh, render_views_sharded
+from tpuao.parallel.sharding import make_mesh
 from tpuao.utils import fixtures as F
 
 from tpuao.utils.profiling import device_time_ms
