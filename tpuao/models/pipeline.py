@@ -197,7 +197,8 @@ def single_scale_ao(depth, camera=None, params=None, impl: str = "auto"):
                                             enable_blur=False)
     depth = jnp.asarray(depth)
 
-    @functools.partial(jax.jit, static_argnames=("impl",))
+    @functools.partial(jax.jit, static_argnames=("impl",),
+                       compiler_options=tpu_compiler_options())
     def go(depth, camera, params, impl):
         h0, w0 = depth.shape[-2:]
         hp, wp = padded_shape(h0, w0)

@@ -28,7 +28,6 @@ Math is bit-compatible with tpuao.ops.render / the golden spec; tested to
 from __future__ import annotations
 
 import functools
-import math
 
 import numpy as np
 
