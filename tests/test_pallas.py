@@ -141,6 +141,24 @@ def test_full_pipeline_impl_fused():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_fused_step_zero_copy_variant(rng):
+    from tpuao.ops import pallas_kernels as PK
+    from tpuao.ops import render as R
+    from tpuao.ops import upsample as U
+
+    lh, lw = 96, 64
+    ds = jnp.asarray(rng.uniform(0.2, 0.8, (lh, lw)), jnp.float32)
+    hi = jnp.asarray(rng.uniform(0.2, 0.8, (2 * lh, 2 * lw)), jnp.float32)
+    c1 = jnp.asarray(rng.uniform(0.3, 1.0, (lh, lw)), jnp.float32)
+    cam, par = CameraParams(), AOParams()
+    aos1 = R.render_ao_level(ds, 1, 2 * lw, cam, par)
+    want = np.asarray(U.blur_upsample_step(c1, ds, hi, par, 2 * lw,
+                                           lo_ao2=aos1))
+    got = np.asarray(PK.fused_render_upsample_step_zc(
+        ds, c1, hi, 1, 2 * lw, cam, par, row_tile=48))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
 def test_fused_step_uneven_tiles(rng):
     from tpuao.ops import pallas_kernels as PK
     from tpuao.ops import render as R

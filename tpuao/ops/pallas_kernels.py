@@ -226,6 +226,187 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     return out
 
 
+def _fused_l1_kernel_zc(pairs, R, lw, lh, scal_ref, z0_ref, z1_ref,
+                        d0_ref, d1_ref, c0_ref, c1_ref, hid_ref, out_ref,
+                        ao_scratch):
+    """Zero-copy variant of _fused_l1_kernel: instead of host-side stacked
+    windows (which lower as one XLA slice kernel per tile per input), each
+    halo'd window is assembled in-kernel from two *adjacent plain blocks* of
+    the same padded array (the array is passed twice with index maps i and
+    i+1).  Requires R >= 38 so a window spans at most two blocks."""
+    H2 = 20
+    nrows = R + 3
+
+    z = jnp.concatenate([z0_ref[:], z1_ref[:]], axis=0)[3: 3 + nrows + 32]
+    lo_d = jnp.concatenate([d0_ref[:], d1_ref[:]], axis=0)[: nrows]
+    c1w = jnp.concatenate([c0_ref[:], c1_ref[:]], axis=0)[: nrows]
+    _fused_l1_body(pairs, R, lw, lh, H2, scal_ref, z, lo_d, c1w, hid_ref,
+                   out_ref, ao_scratch)
+
+
+def _fused_l1_body(pairs, R, lw, lh, H2, scal_ref, z, lo_d, c1w, hid_ref,
+                   out_ref, ao_scratch):
+    falloff = scal_ref[0, 0]
+    strength = scal_ref[0, 1]
+    inv_rc = scal_ref[0, 2]
+    k_blur = scal_ref[0, 4]
+    k_up = scal_ref[0, 5]
+    nfs = scal_ref[0, 6]
+    i = pl.program_id(0)
+    nrows = R + 3
+    zc = z[16: 16 + nrows, H2: H2 + lw]
+    inv_zc = 1.0 / zc
+    vis = jnp.zeros((nrows, lw), jnp.float32)
+    prev_t = None
+    a_i = None
+    for (dx, dy, t, w_pair) in pairs:
+        inv_r = (1.0 / t) * inv_rc
+        if t != prev_t:
+            a_i = inv_zc * inv_r
+            prev_t = t
+        b_i = 1.0 - inv_r
+        d1 = z[16 + dy: 16 + dy + nrows, H2 + dx: H2 + dx + lw] * a_i + b_i
+        d2 = z[16 - dy: 16 - dy + nrows, H2 - dx: H2 - dx + lw] * a_i + b_i
+        p1 = jnp.clip(falloff * d1, 0.0, 1.0)
+        p2 = jnp.clip(falloff * d2, 0.0, 1.0)
+        vis = vis + (0.5 * w_pair) * (
+            jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2)
+            + jnp.maximum(jnp.clip(d2, 0.0, 1.0), p1))
+    vis = jnp.clip(vis, 0.0, 1.0)
+    ao = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
+
+    slot_global = (
+        jax.lax.broadcasted_iota(jnp.int32, (nrows, lw), 0) + i * R - 1)
+    ao_scratch[:] = ao
+    top_row = ao_scratch[pl.ds(jnp.clip(1 - i * R, 0, nrows - 1), 1), :]
+    bot_row = ao_scratch[pl.ds(jnp.clip(lh - i * R, 0, nrows - 1), 1), :]
+    ao = jnp.where(slot_global < 0, top_row, ao)
+    ao = jnp.where(slot_global > lh - 1, bot_row, ao)
+    ao = jnp.concatenate(
+        [ao[:, :1], ao, ao[:, lw - 1:], ao[:, lw - 1:]], axis=1)
+
+    lo_a = jnp.minimum(ao, c1w)
+    fr_, fc_ = R + 1, lw + 1
+    dc_c = lo_d[1: 1 + fr_, 1: 1 + fc_]
+    acc = jnp.zeros((fr_, fc_), jnp.float32)
+    wacc = jnp.zeros((fr_, fc_), jnp.float32)
+    for dy, dx, gw in ((-1, -1, 1.), (-1, 0, 2.), (-1, 1, 1.),
+                       (0, -1, 2.), (0, 0, 4.), (0, 1, 2.),
+                       (1, -1, 1.), (1, 0, 2.), (1, 1, 1.)):
+        a_n = lo_a[1 + dy: 1 + dy + fr_, 1 + dx: 1 + dx + fc_]
+        d_n = lo_d[1 + dy: 1 + dy + fr_, 1 + dx: 1 + dx + fc_]
+        dd = d_n - dc_c
+        wt = gw / (1.0 + nfs * dd * dd)
+        acc += wt * a_n
+        wacc += wt
+    filtered = acc / wacc
+
+    for p in (0, 1):
+        for q in (0, 1):
+            hd = hid_ref[2 * p + q]
+            up_acc = jnp.zeros((R, lw), jnp.float32)
+            up_w = jnp.zeros((R, lw), jnp.float32)
+            for dr in (0, 1):
+                wr = 1.0 - p * 0.5 if dr == 0 else p * 0.5
+                if wr == 0.0:
+                    continue
+                for dc in (0, 1):
+                    wc = 1.0 - q * 0.5 if dc == 0 else q * 0.5
+                    if wc == 0.0:
+                        continue
+                    a = filtered[dr: dr + R, dc: dc + lw]
+                    d = lo_d[1 + dr: 1 + dr + R, 1 + dc: 1 + dc + lw]
+                    dd = d - hd
+                    wt = (wr * wc) / (dd * dd / k_blur + k_up)
+                    up_acc += wt * a
+                    up_w += wt
+            out_ref[2 * p + q] = up_acc / jnp.maximum(up_w, 1e-30)
+
+
+def fused_render_upsample_step_zc(ds, c1, hi_d, level: int, full_width: int,
+                                  camera, params, row_tile: int = 64):
+    """Zero-copy-prologue fused step: no stacked windows; halo'd tiles are
+    assembled in-kernel from adjacent blocks of plainly padded arrays."""
+    from tpuao.params import upsample_constants
+
+    ds = ds.astype(jnp.float32)
+    c1 = c1.astype(jnp.float32)
+    hi_d = hi_d.astype(jnp.float32)
+    lh, lw = ds.shape
+    pairs = _pair_constants(params)
+    radius_coef = sphere_radius_coef(
+        level, full_width, camera.tan_half_fov_h, params.screenspace_diameter
+    )
+    _, k_blur, k_up, nfs = upsample_constants(params, full_width, lw)
+
+    R = max(min(row_tile, lh), 40)  # window must fit in two blocks
+    g = -(-lh // R)
+    pad_rows = g * R - lh
+    H2 = 20
+
+    # z: parity-pad 20, then bottom-pad so the array is exactly (g+1)*R rows
+    zp = pad_parity4(ds, H2)  # rows: lh + 40, row 0 = ds row -20
+    need = (g + 1) * R - zp.shape[0]
+    if need > 0:
+        zp = jnp.concatenate([zp, jnp.tile(zp[-1:, :], (need, 1))], 0)
+
+    def prep_plain(x):  # edge pad (1 top, rest bottom) to (g+1)*R rows
+        x = jnp.pad(x, [(1, 2), (1, 2)], mode="edge")
+        need = (g + 1) * R - x.shape[0]
+        if need > 0:
+            x = jnp.concatenate([x, jnp.tile(x[-1:, :], (need, 1))], 0)
+        return x
+
+    dpad = prep_plain(ds)
+    cpad = prep_plain(c1)
+
+    hid_planes = jnp.stack(
+        [hi_d[p::2, :][:, q::2] for p in (0, 1) for q in (0, 1)])
+    if pad_rows:
+        hid_planes = jnp.concatenate(
+            [hid_planes, jnp.tile(hid_planes[:, -1:, :], (1, pad_rows, 1))],
+            axis=1)
+
+    scalars = jnp.stack([
+        jnp.asarray(params.rejection_falloff, jnp.float32),
+        jnp.asarray(params.strength, jnp.float32),
+        1.0 / jnp.asarray(radius_coef, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+        jnp.asarray(k_blur, jnp.float32),
+        jnp.asarray(k_up, jnp.float32),
+        jnp.asarray(nfs, jnp.float32),
+        jnp.asarray(0.0, jnp.float32),
+    ]).reshape(1, 8)
+
+    def blk(arr_w, idx_off):
+        return pl.BlockSpec(
+            (R, arr_w), lambda i, o=idx_off: (i + o, 0),
+            memory_space=pltpu.VMEM)
+
+    plane_spec = pl.BlockSpec((4, R, lw), lambda i: (0, i, 0),
+                              memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_l1_kernel_zc, pairs, R, lw, lh),
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            blk(lw + 2 * H2, 0), blk(lw + 2 * H2, 1),
+            blk(lw + 3, 0), blk(lw + 3, 1),
+            blk(lw + 3, 0), blk(lw + 3, 1),
+            plane_spec,
+        ],
+        out_specs=plane_spec,
+        out_shape=jax.ShapeDtypeStruct((4, g * R, lw), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((R + 3, lw), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_use_interpret(),
+    )(scalars, zp, zp, dpad, dpad, cpad, cpad, hid_planes)
+    planes = out[:, :lh, :]
+    return planes.reshape(2, 2, lh, lw).transpose(2, 0, 3, 1).reshape(
+        2 * lh, 2 * lw)
+
+
 def _fused_l1_kernel(pairs, R, lw, lh, scal_ref, zwin_ref, dwin_ref,
                      c1win_ref, hid_ref, out_ref, ao_scratch):
     """Fused final chain section: AoRender(level) + premin + noise filter +
