@@ -154,3 +154,16 @@ def test_upsample_constants_traced_vs_float():
     b = upsample_constants(par_j, 1920, 120)
     for x, y in zip(a, b):
         np.testing.assert_allclose(float(np.asarray(y)), x, rtol=1e-6)
+
+
+def test_interleave2x2_variants_agree(rng):
+    from tpuao.ops.upsample import interleave2x2, interleave2x2_padded
+
+    ps = [jnp.asarray(rng.uniform(size=(16, 24)), jnp.float32)
+          for _ in range(4)]
+    a = np.asarray(interleave2x2(*ps))
+    b = np.asarray(interleave2x2_padded(*ps))
+    np.testing.assert_array_equal(a, b)
+    # spot-check the parity mapping: out[2i+p, 2j+q] == plane_{pq}[i, j]
+    assert a[3, 4] == np.asarray(ps[2])[1, 2]  # p=1,q=0
+    assert a[2, 5] == np.asarray(ps[1])[1, 2]  # p=0,q=1

@@ -219,8 +219,9 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     )(scalars, *lo_ins, hid_planes)
     planes = out[:, :lh, :]
     # interleave parity planes -> (2lh, 2lw): (2,2,lh,lw) -> (lh,2,lw,2)
-    out = planes.reshape(2, 2, lh, lw).transpose(2, 0, 3, 1).reshape(
-        2 * lh, 2 * lw)
+    from tpuao.ops.upsample import interleave2x2
+
+    out = interleave2x2(planes[0], planes[1], planes[2], planes[3])
     if hi_ao_blend is not None:
         out = jnp.minimum(out, hi_ao_blend)
     return out
@@ -403,8 +404,9 @@ def fused_render_upsample_step_zc(ds, c1, hi_d, level: int, full_width: int,
         interpret=_use_interpret(),
     )(scalars, zp, zp, dpad, dpad, cpad, cpad, hid_planes)
     planes = out[:, :lh, :]
-    return planes.reshape(2, 2, lh, lw).transpose(2, 0, 3, 1).reshape(
-        2 * lh, 2 * lw)
+    from tpuao.ops.upsample import interleave2x2
+
+    return interleave2x2(planes[0], planes[1], planes[2], planes[3])
 
 
 def _fused_l1_kernel(pairs, R, lw, lh, scal_ref, zwin_ref, dwin_ref,
@@ -598,8 +600,9 @@ def fused_render_upsample_step(ds, c1, hi_d, level: int, full_width: int,
         interpret=_use_interpret(),
     )(scalars, zwin, dwin, c1win, hid_planes)
     planes = out[:, :lh, :]
-    return planes.reshape(2, 2, lh, lw).transpose(2, 0, 3, 1).reshape(
-        2 * lh, 2 * lw)
+    from tpuao.ops.upsample import interleave2x2
+
+    return interleave2x2(planes[0], planes[1], planes[2], planes[3])
 
 
 def _render_kernel_dma(pairs, R, w, g, scal_ref, zp_hbm, o_ref, zbuf, sems):

@@ -17,8 +17,54 @@ are this framework's spec, defined identically in golden/reference.py.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from jax import lax
 
 from tpuao.params import upsample_constants
+
+
+def _interleave_axis(a, b, axis: int):
+    """[a0, b0, a1, b1, ...] along ``axis`` via interior padding + add.
+
+    Layout-safe: a stack/transpose/reshape interleave creates a tensor with a
+    size-2 minor dimension, which XLA's TPU layouts pad to the (8, 128) tile
+    -- a 64x memory inflation that silently cost ~2 ms/frame at 4K and OOMed
+    at 8K (seen in the HBM allocation dump).  Interior-padded adds never
+    materialize small-minor intermediates.
+    """
+    nd = a.ndim
+    cfg_a = [(0, 0, 0)] * nd
+    cfg_b = [(0, 0, 0)] * nd
+    cfg_a[axis] = (0, 1, 1)
+    cfg_b[axis] = (1, 0, 1)
+    zero = jnp.zeros((), a.dtype)
+    return lax.pad(a, zero, cfg_a) + lax.pad(b, zero, cfg_b)
+
+
+def interleave2x2(p00, p01, p10, p11):
+    """Merge 4 parity planes (2p+q order) into the (2H, 2W) field.
+
+    Uses the transpose/reshape form: fastest at <=4K on v5e.  CAVEAT: at 8K
+    XLA assigns the rank-4 intermediate a layout with a size-2 minor dim and
+    pads it to the (8,128) tile -- 64x HBM inflation -> OOM (seen in the
+    allocation dump).  ``interleave2x2_padded`` below is layout-bounded but
+    its 4K+ compile crawls on the remote compiler; single-chip >4K frames
+    should instead go through parallel/spatial row-band sharding.
+    """
+    lh, lw = p00.shape[-2], p00.shape[-1]
+    lead = p00.shape[:-2]
+    n = len(lead)
+    st = jnp.stack([p00, p01, p10, p11], axis=0).reshape(
+        (2, 2) + lead + (lh, lw))
+    perm = tuple(range(2, 2 + n)) + (2 + n, 0, 3 + n, 1)
+    return st.transpose(perm).reshape(lead + (2 * lh, 2 * lw))
+
+
+def interleave2x2_padded(p00, p01, p10, p11):
+    """Layout-bounded 2x2 interleave via interior-padded adds (no
+    small-minor intermediates can exist).  See interleave2x2 caveat."""
+    even_rows = _interleave_axis(p00, p01, axis=-1)
+    odd_rows = _interleave_axis(p10, p11, axis=-1)
+    return _interleave_axis(even_rows, odd_rows, axis=-2)
 
 
 def _shift2d(x, dy, dx):
@@ -97,12 +143,7 @@ def bilateral_upsample2x(lo_ao, lo_d, hi_d, k_blur, k_up):
                     wacc = wacc + wt
             planes.append(acc / jnp.maximum(wacc, 1e-30))
 
-    # interleave the 4 parity planes: (2p+q) stacking -> (..., 2lh, 2lw)
-    st = jnp.stack(planes, axis=0).reshape((2, 2) + lead + (lh, lw))
-    n = len(lead)
-    # axes: (p, q, ..., i, j) -> (..., i, p, j, q)
-    perm = tuple(range(2, 2 + n)) + (2 + n, 0, 3 + n, 1)
-    return st.transpose(perm).reshape(lead + (2 * lh, 2 * lw))
+    return interleave2x2(*planes)
 
 
 def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up):
@@ -140,10 +181,7 @@ def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up):
                     wacc = wacc + wt
             planes.append(acc / jnp.maximum(wacc, 1e-30))
 
-    st = jnp.stack(planes, axis=0).reshape((2, 2) + lead + (lh, lw))
-    n = len(lead)
-    perm = tuple(range(2, 2 + n)) + (2 + n, 0, 3 + n, 1)
-    return st.transpose(perm).reshape(lead + (2 * lh, 2 * lw))
+    return interleave2x2(*planes)
 
 
 def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
