@@ -197,8 +197,10 @@ def single_scale_ao(depth, camera=None, params=None, impl: str = "auto"):
                                             enable_blur=False)
     depth = jnp.asarray(depth)
 
-    @functools.partial(jax.jit, static_argnames=("impl",),
-                       compiler_options=tpu_compiler_options())
+    # NOTE: no compiler_options here -- jax forbids them on nested jits and
+    # callers (e.g. bench) wrap this in their own jit; the option is
+    # irrelevant at single-scale cost (~0.03 ms) anyway.
+    @functools.partial(jax.jit, static_argnames=("impl",))
     def go(depth, camera, params, impl):
         h0, w0 = depth.shape[-2:]
         hp, wp = padded_shape(h0, w0)
