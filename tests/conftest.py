@@ -31,6 +31,11 @@ import pytest  # noqa: E402
 from tpuao.params import GoldenAOParams, GoldenCameraParams  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: full-resolution golden regression (~1 min)")
+
+
 @pytest.fixture
 def camera():
     return GoldenCameraParams(depth_mode="linear")

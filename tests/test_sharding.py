@@ -73,3 +73,33 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_sharded_views_exceed_devices(views):
+    """16 views on the 8-device mesh: each chip lax.map's the unbatched
+    program over its 2-view shard (VERDICT r1 item 3)."""
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    both = np.concatenate([views, views[::-1]], axis=0)  # 16 views
+    out = render_views_sharded(both, cam, par, mesh=make_mesh(8), impl="jnp")
+    assert out.shape == both.shape
+    assert out.sharding.spec[0] == VIEW_AXIS
+    single = np.stack(
+        [np.asarray(render_frame(v, cam, par, impl="jnp")) for v in both])
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
+
+
+def test_sharded_views_exceed_devices_normals(views):
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams(use_normals=True)
+    zs, ns = zip(*[F.spheres_on_plane(64, 128, n_spheres=3, seed=s,
+                                      with_normals=True) for s in range(16)])
+    zs = np.stack(zs).astype(np.float32)
+    ns = np.stack(ns).astype(np.float32)
+    out = render_views_sharded(zs, cam, par, normals=ns, mesh=make_mesh(8),
+                               impl="jnp")
+    assert out.shape == zs.shape
+    single = np.stack(
+        [np.asarray(render_frame(z, cam, par, normals=n, impl="jnp"))
+         for z, n in zip(zs, ns)])
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)

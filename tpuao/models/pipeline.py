@@ -67,6 +67,17 @@ def _pad_to_64(x, hp, wp):
 
 def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
     """depth [+normals] -> (full-res AO, debug dict).  Jit-traceable core."""
+    if depth.ndim > 2 and impl in ("pallas", "fused"):
+        # The Pallas kernels are written for a single (H, W) frame; batch
+        # them by vmapping the whole unbatched pipeline (the jnp path
+        # handles leading batch axes natively).
+        if normals is None:
+            return jax.vmap(
+                lambda d: ao_pipeline(d, camera, params, None, impl=impl)
+            )(depth)
+        return jax.vmap(
+            lambda d, n: ao_pipeline(d, camera, params, n, impl=impl)
+        )(depth, normals)
     h0, w0 = depth.shape[-2:]
     hp, wp = padded_shape(h0, w0)
     depth = _pad_to_64(depth.astype(jnp.float32), hp, wp)
@@ -77,6 +88,10 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
             + [(0, hp - h0), (0, wp - w0), (0, 0)],
             mode="edge",
         )
+        # channel-first planes: an (H, W, 3) array has a minor dim of 3,
+        # which TPU layouts pad to the 128-lane tile (~42x HBM inflation);
+        # (3, H, W) keeps every buffer on the natural (8, 128) tiling.
+        npad = jnp.moveaxis(npad, -1, -3)
     else:
         npad = None
 
@@ -87,12 +102,11 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
         linz = P.linearize_depth(depth, camera)
         pyr = P.build_pyramid(linz, d)
         if npad is not None:
-            # normals are (..., H, W, 3): downsample the spatial axes only
+            # normals are (..., 3, H, W): pick-one downsample of the last
+            # two axes, same rule as the depth pyramid
             npyr = [npad]
             for _ in range(d):
-                # sequential per-axis strided slices: a combined 2-D strided
-                # slice lowers pathologically on TPU (see ops.prepare)
-                npyr.append(npyr[-1][..., 0::2, :, :][..., :, 0::2, :])
+                npyr.append(npyr[-1][..., 0::2, :][..., :, 0::2])
         else:
             npyr = [None] * (d + 1)
 
@@ -187,6 +201,23 @@ def render_frame(depth, camera=None, params=None, normals=None, color=None,
                              debug_outputs, impl)
 
 
+def _single_scale_impl(depth, camera, params, impl: str):
+    h0, w0 = depth.shape[-2:]
+    hp, wp = padded_shape(h0, w0)
+    dpad = _pad_to_64(depth.astype(jnp.float32), hp, wp)
+    linz = P.linearize_depth(dpad, camera)
+    ds2 = P.downsample2x(linz)
+    ao = _select_render_impl(impl)(ds2, 1, wp, camera, params, None)
+    return ao[..., : h0 // 2, : w0 // 2]
+
+
+# NOTE: no compiler_options here -- jax forbids them on nested jits and
+# callers (e.g. bench) wrap single_scale_ao in their own jit; the option is
+# irrelevant at single-scale cost (~0.03 ms) anyway.  Module-level so repeat
+# calls hit the jit cache instead of retracing per call (ADVICE r1).
+_single_scale_jit = jax.jit(_single_scale_impl, static_argnames=("impl",))
+
+
 def single_scale_ao(depth, camera=None, params=None, impl: str = "auto"):
     """[BJ] config 1: single-scale AO at 1/2 input resolution, no blur.
 
@@ -195,22 +226,7 @@ def single_scale_ao(depth, camera=None, params=None, impl: str = "auto"):
     camera = camera or CameraParams()
     params = (params or AOParams()).replace(hierarchy_depth=1,
                                             enable_blur=False)
-    depth = jnp.asarray(depth)
-
-    # NOTE: no compiler_options here -- jax forbids them on nested jits and
-    # callers (e.g. bench) wrap this in their own jit; the option is
-    # irrelevant at single-scale cost (~0.03 ms) anyway.
-    @functools.partial(jax.jit, static_argnames=("impl",))
-    def go(depth, camera, params, impl):
-        h0, w0 = depth.shape[-2:]
-        hp, wp = padded_shape(h0, w0)
-        dpad = _pad_to_64(depth.astype(jnp.float32), hp, wp)
-        linz = P.linearize_depth(dpad, camera)
-        ds2 = P.downsample2x(linz)
-        ao = _select_render_impl(impl)(ds2, 1, wp, camera, params, None)
-        return ao[..., : h0 // 2, : w0 // 2]
-
-    return go(depth, camera, params, impl)
+    return _single_scale_jit(jnp.asarray(depth), camera, params, impl=impl)
 
 
 class AmbientOcclusionEngine:

@@ -63,10 +63,12 @@ def _render_kernel(pairs, R, w, use_normals, scal_ref, z_ref, *rest):
     zc = z[HALO: HALO + R, HALO: HALO + w]
     inv_zc = 1.0 / zc
     if use_normals:
+        # normals travel as plain (R, w) center tiles -- the tangent test
+        # reads no neighbors, so they carry no halo (unlike depth)
         nx_ref, ny_ref, nz_ref = rest[0], rest[1], rest[2]
-        n_x = nx_ref[0][HALO: HALO + R, HALO: HALO + w]
-        n_y = ny_ref[0][HALO: HALO + R, HALO: HALO + w]
-        n_z = jnp.maximum(nz_ref[0][HALO: HALO + R, HALO: HALO + w], 0.05)
+        n_x = nx_ref[0]
+        n_y = ny_ref[0]
+        n_z = jnp.maximum(nz_ref[0], 0.05)
         texel_scale = scal_ref[0, 3]
         radius_coef = 1.0 / inv_rc
         grad = texel_scale / n_z
@@ -697,7 +699,7 @@ def render_ao_level_dma(ds, level: int, full_width: int, camera, params,
         grid=(g,),
         in_specs=[
             pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -740,13 +742,16 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
     if pad_rows:
         zp = jnp.concatenate([zp, jnp.tile(zp[-1:, :], (pad_rows, 1))], 0)
     wins = [_row_windows(zp, g, R)]
+    nwins = []
     if use_n:
+        if normals_ds.shape[-1] == 3 and normals_ds.shape[-3] != 3:
+            normals_ds = jnp.moveaxis(normals_ds, -1, -3)
         for c in range(3):
-            npc = pad_parity4(normals_ds[..., c].astype(jnp.float32), HALO)
+            npc = normals_ds[..., c, :, :].astype(jnp.float32)
             if pad_rows:
                 npc = jnp.concatenate(
                     [npc, jnp.tile(npc[-1:, :], (pad_rows, 1))], 0)
-            wins.append(_row_windows(npc, g, R))
+            nwins.append(npc.reshape(g, R, w))
 
     scalars = jnp.stack(
         [jnp.asarray(params.rejection_falloff, jnp.float32),
@@ -758,16 +763,18 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
     wpad = w + 2 * HALO
     win_spec = pl.BlockSpec((1, R + 2 * HALO, wpad), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
     kernel = functools.partial(_render_kernel, pairs, R, w, use_n)
     out = pl.pallas_call(
         kernel,
         grid=(g,),
         in_specs=[pl.BlockSpec((1, 4), lambda i: (0, 0),
                                memory_space=pltpu.SMEM)]
-        + [win_spec] * len(wins),
+        + [win_spec] * len(wins) + [tile_spec] * len(nwins),
         out_specs=pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((g, R, w), jnp.float32),
         interpret=_use_interpret(),
-    )(scalars, *wins)
+    )(scalars, *wins, *nwins)
     return out.reshape(g * R, w)[:h]

@@ -56,9 +56,20 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
     zp = pad_parity4(ds, HALO)
     use_n = normals_ds is not None and params.use_normals
     if use_n:
-        npx = pad_parity4(normals_ds[..., 0].astype(jnp.float32), HALO)
-        npy = pad_parity4(normals_ds[..., 1].astype(jnp.float32), HALO)
-        npz = pad_parity4(normals_ds[..., 2].astype(jnp.float32), HALO)
+        # Accept channel-first (..., 3, h, w) planes (the pipeline's TPU
+        # layout -- a minor dim of 3 tiles catastrophically on TPU) or the
+        # golden's channel-last (..., h, w, 3).
+        if normals_ds.shape[-1] == 3 and normals_ds.shape[-3] != 3:
+            normals_ds = jnp.moveaxis(normals_ds, -1, -3)
+        nrm = normals_ds.astype(jnp.float32)
+        # Only the *center* normal is read by the tangent test (the golden
+        # windows npad at offset (0,0) == the unpadded buffer), so no
+        # parity padding is needed.  Precompute the per-level slope buffers
+        # once: gx/gy = (nx,ny)/nz * texel_scale (VERDICT r1 item 4).
+        n_z = jnp.maximum(nrm[..., 2, :, :], 0.05)
+        grad = texel_scale / n_z
+        g_x = nrm[..., 0, :, :] * grad
+        g_y = nrm[..., 1, :, :] * grad
 
     def window(arr, dy, dx):
         return arr[..., HALO + dy: HALO + dy + h, HALO + dx: HALO + dx + w]
@@ -66,10 +77,6 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
     z_c = ds
     inv_zc = 1.0 / z_c
     falloff = params.rejection_falloff
-    if use_n:
-        n_x, n_y = window(npx, 0, 0), window(npy, 0, 0)
-        n_z = jnp.maximum(window(npz, 0, 0), 0.05)
-        grad = texel_scale / n_z
 
     # NOTE: the naive 1 + (zs*inv_zc - 1)*inv_r form fuses best under XLA
     # (an algebraic FMA refactor with per-entry a_i = inv_zc*inv_r temps
@@ -82,7 +89,7 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         zs2 = window(zp, -dy, -dx)
         if use_n:
             # soft-clamped tangent correction (see golden _tangent_offset)
-            x = (n_x * dx + n_y * dy) * grad
+            x = g_x * dx + g_y * dy
             m2 = (0.5 * radius_coef * t) ** 2
             rel = x * m2 / (m2 + x * x)
             d1 = 1.0 + (zs1 * inv_zc - (1.0 + rel)) * inv_r

@@ -59,10 +59,13 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
     can ``jax.device_get`` to gather).  Pure data parallel over ICI -- no
     collectives in the compiled program.
 
-    When each chip holds exactly one view (the v5e-8 8-camera case), the
-    per-chip program is built with ``shard_map`` on the *unbatched* frame
-    pipeline -- measured 1.8x faster per view than the vmapped batch (vmap
-    batches the strided relayouts badly on TPU).
+    The per-chip program is built with ``shard_map`` on the *unbatched*
+    frame pipeline -- measured 1.8x faster per view than the vmapped batch
+    (vmap batches the strided relayouts badly on TPU).  When a chip holds
+    more than one view, its local shard runs through ``lax.map`` (a scan of
+    the same unbatched program), so the per-view cost stays at the
+    single-frame cost instead of paying the vmap batching penalty
+    (VERDICT r1 item 3).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
@@ -78,25 +81,35 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
         spec_n = NamedSharding(mesh, P(VIEW_AXIS, None, None, None))
         normals = jax.device_put(jnp.asarray(normals, jnp.float32), spec_n)
 
-    if n == n_dev:
-        shard_map = jax.shard_map
+    sm = sharded_views_fn(camera, params, mesh,
+                          with_normals=normals is not None, impl=impl)
+    return jax.jit(sm)(depths, normals)
 
-        def per_chip(d, nrm):
-            out = ao_pipeline(d[0], camera, params,
-                              None if nrm is None else nrm[0], impl=impl)[0]
-            return out[None]
 
-        sm = shard_map(
-            per_chip, mesh=mesh,
-            in_specs=(P(VIEW_AXIS, None, None),
-                      P(VIEW_AXIS, None, None, None)
-                      if normals is not None else P()),
-            out_specs=P(VIEW_AXIS, None, None),
-        )
-        return jax.jit(sm)(depths, normals)
+def sharded_views_fn(camera, params, mesh: Mesh, with_normals: bool = False,
+                     impl: str = "auto"):
+    """The jittable sharded multi-view program: (depths[, normals]) -> ao.
 
-    fn = jax.jit(
-        lambda d, nrm: render_views(d, camera, params, nrm, impl=impl),
-        out_shardings=spec_d,
+    Each chip runs the *unbatched* frame pipeline on its local shard --
+    directly for one view per chip, via ``lax.map`` (a scan of the same
+    unbatched program) when a chip holds several views.  Used by
+    ``render_views_sharded`` and by the bench harness (which needs the bare
+    function for on-device chain timing).
+    """
+
+    def one(d, nrm):
+        return ao_pipeline(d, camera, params, nrm, impl=impl)[0]
+
+    def per_chip(d, nrm):
+        if d.shape[0] == 1:
+            return one(d[0], None if nrm is None else nrm[0])[None]
+        if nrm is None:
+            return jax.lax.map(lambda dd: one(dd, None), d)
+        return jax.lax.map(lambda a: one(a[0], a[1]), (d, nrm))
+
+    return jax.shard_map(
+        per_chip, mesh=mesh,
+        in_specs=(P(VIEW_AXIS, None, None),
+                  P(VIEW_AXIS, None, None, None) if with_normals else P()),
+        out_specs=P(VIEW_AXIS, None, None),
     )
-    return fn(depths, normals)

@@ -31,8 +31,10 @@ import jax
 import jax.numpy as jnp
 
 
-def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3) -> float:
-    """Median per-invocation device time of ``fn(*args)`` in milliseconds.
+def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3,
+                   return_min: bool = False):
+    """Median per-invocation device time of ``fn(*args)`` in milliseconds
+    (``return_min=True`` -> ``(median, min)`` over the repeats).
 
     ``fn`` must map arrays -> array(s) and be jit-traceable.  The first
     argument must be a float array (it receives the cross-iteration
@@ -63,6 +65,8 @@ def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3) -> float:
         float(compiled(iters, *args))
         tn = time.perf_counter() - t0
         samples.append((tn - t1) / (iters - 1) * 1e3)
+    if return_min:
+        return float(np.median(samples)), float(np.min(samples))
     return float(np.median(samples))
 
 
