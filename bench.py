@@ -31,7 +31,10 @@ from tpuao.utils import fixtures as F
 
 from tpuao.utils.profiling import device_time_ms
 
-REPS = int(os.environ.get("BENCH_REPS", "40"))  # on-device chain length
+# on-device chain length; default auto-calibrates to ~400 ms chains (the
+# relay's RTT jitter divides by the chain length -- see utils.profiling)
+REPS = (int(os.environ["BENCH_REPS"])
+        if os.environ.get("BENCH_REPS") else None)
 FAST = os.environ.get("BENCH_FAST") == "1"
 BASELINE_MS = 1.0  # BASELINE.md north star: <1 ms/frame at 1080p on 1 chip
 
@@ -76,7 +79,8 @@ def time_ms(fn, *args, reps=REPS):
     block_until_ready does not sync through the axon relay) + one real
     output for the accuracy check.  Returns (median_ms, min_ms, result)
     over >=3 measurement repeats (VERDICT r1 item 7)."""
-    med, mn = device_time_ms(fn, *args, iters=reps, return_min=True)
+    med, mn = device_time_ms(fn, *args, iters=reps, repeats=5,
+                             return_min=True)
     return med, mn, fn(*args)
 
 
@@ -150,7 +154,7 @@ def main():
                              (4.0, 9.0, -1.5))]
     # ... and the swept settings are *timed*, not just run (VERDICT r1
     # item 7/8): same compiled program, so only the chain runs again.
-    sweep_ms = [device_time_ms(fc, zd, nd, pp, iters=max(REPS // 4, 5))
+    sweep_ms = [device_time_ms(fc, zd, nd, pp, iters=REPS)
                 for pp in sweep]
     results["configs"]["3_1080p_normals_sweep"] = dict(
         ms=ms3, ms_min=mn3, mpix_s=(1920 * 1080 / 1e6) / (ms3 / 1e3),
@@ -161,11 +165,23 @@ def main():
     # ---- config 4: 4K single camera ---------------------------------------
     z4 = scene(2160, 3840)
     zd4 = jax.device_put(jnp.asarray(z4, jnp.float32))
-    ms4, mn4, ao4 = time_ms(f2, zd4, reps=max(REPS // 2, 5))
+    ms4, mn4, ao4 = time_ms(f2, zd4)
     err4 = None if FAST else golden_err(ao4, z4, p2)
     results["configs"]["4_4k_full"] = dict(
         ms=ms4, ms_min=mn4, mpix_s=(3840 * 2160 / 1e6) / (ms4 / 1e3),
         max_abs_err=err4)
+
+    # ---- config 4b: 8K single camera, single chip --------------------------
+    # (VERDICT r1 item 2: used to OOM from the interleave's 64x layout
+    # inflation; the layout-bounded interleave keeps temps ~2 frames.)
+    z8 = scene(4320, 7680)
+    zd8 = jax.device_put(jnp.asarray(z8, jnp.float32))
+    ms8, mn8, ao8 = time_ms(f2, zd8)
+    err8 = None if FAST else golden_err(ao8, z8, p2)
+    results["configs"]["4b_8k_full"] = dict(
+        ms=ms8, ms_min=mn8, mpix_s=(7680 * 4320 / 1e6) / (ms8 / 1e3),
+        max_abs_err=err8)
+    del zd8, ao8
 
     # ---- config 5: 8-view 1080p batch, view-sharded mesh ------------------
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -179,7 +195,7 @@ def main():
     zsd = jax.device_put(zs, spec)
     sm = sharded_views_fn(cam, p2, mesh, impl=impl)
     f5 = jax.jit(lambda d: sm(d, None))
-    ms5, mn5, ao5 = time_ms(f5, zsd, reps=max(REPS // 4, 5))
+    ms5, mn5, ao5 = time_ms(f5, zsd)
     results["configs"]["5_8view_1080p_sharded"] = dict(
         ms=ms5, ms_min=mn5, ms_per_view=ms5 / views,
         mpix_s=(views * 1920 * 1080 / 1e6) / (ms5 / 1e3),

@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 
 
-def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3,
+def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
                    return_min: bool = False):
     """Median per-invocation device time of ``fn(*args)`` in milliseconds
     (``return_min=True`` -> ``(median, min)`` over the repeats).
@@ -40,6 +40,13 @@ def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3,
     argument must be a float array (it receives the cross-iteration
     perturbation; the perturbation is ``carry * 1e-20`` so results are
     numerically unchanged).
+
+    ``iters=None`` auto-calibrates the chain length so each timed chain
+    runs ~400 ms of device work.  The relay's round-trip jitter (measured
+    up to +-15 ms) lands on both two-point samples and divides by
+    ``iters - 1``; with the old fixed 40-iteration chain that left
+    +-0.4 ms of noise on a 0.5 ms program -- short chains even produced
+    negative estimates.  400 ms chains push the noise below ~0.05 ms.
     """
 
     def chained(n, *a):
@@ -55,6 +62,24 @@ def device_time_ms(fn, *args, iters: int = 40, repeats: int = 3,
     compiled = jax.jit(chained, static_argnums=0,
                        compiler_options=tpu_compiler_options())
     float(compiled(1, *args))
+    if iters is None:
+        # Two-point probes so the relay RTT cancels out of the estimate.
+        # Relay hiccups are heavy-tailed (+100 ms spikes observed), so probe
+        # twice and keep the SMALLER estimate: an overestimate would shorten
+        # the chain and destroy the measurement, an underestimate only makes
+        # it run longer.
+        probe = 40
+        ests = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(compiled(1, *args))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(compiled(probe, *args))
+            tp = time.perf_counter() - t0
+            ests.append((tp - t1) / (probe - 1) * 1e3)
+        est_ms = max(min(ests), 1e-3)
+        iters = int(np.clip(400.0 / est_ms, 100, 20000))
     float(compiled(iters, *args))
     samples = []
     for _ in range(repeats):
