@@ -30,6 +30,14 @@ from tpuao.parallel.sharding import make_mesh
 from tpuao.utils import fixtures as F
 
 from tpuao.utils.profiling import device_time_ms
+from tpuao.utils import roofline as RL
+
+
+def roofline(fn_jitted, measured_ms, h, w, *args, **traffic_kw):
+    """Roofline floors for one config (VERDICT r1 item 6); flops from the
+    compiled executable's own cost analysis."""
+    flops, trans = RL.cost_counts(fn_jitted.lower(*args).compile())
+    return RL.floors_ms(measured_ms, h, w, flops, trans, **traffic_kw)
 
 # on-device chain length; default auto-calibrates to ~400 ms chains (the
 # relay's RTT jitter divides by the chain length -- see utils.profiling)
@@ -65,12 +73,18 @@ def stray_processes() -> list[str]:
             continue
         try:
             with open(p, "rb") as f:
-                cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+                argv = [a.decode(errors="replace")
+                        for a in f.read().split(b"\0") if a]
         except OSError:
             continue
-        if "python" in cmd and any(
-                k in cmd for k in ("bench", "tpuao", "profile_stages")):
-            found.append(f"{pid}: {cmd.strip()}")
+        # match only real python invocations of our scripts -- the driver
+        # harness embeds these filenames in its prompt text, so substring
+        # matching on the whole cmdline false-positives on it
+        if not argv or "python" not in os.path.basename(argv[0]):
+            continue
+        if any(any(k in a for k in ("bench", "tpuao", "profile_stages"))
+               for a in argv[1:3]):
+            found.append(f"{pid}: {' '.join(argv)[:120]}")
     return found
 
 
@@ -119,7 +133,9 @@ def main():
     err = float(np.abs(np.asarray(ao, np.float64) - want).max())
     results["configs"]["1_720p_single_scale"] = dict(
         ms=ms, ms_min=mn, mpix_s=(1280 * 720 / 1e6) / (ms / 1e3),
-        max_abs_err=err)
+        max_abs_err=err,
+        roofline=roofline(f1, ms, 720, 1280, zd,
+                          depth_levels=1, enable_blur=False))
 
     # ---- config 2: full 4-level pipeline, 1080p, depth-only (HEADLINE) ----
     z = scene(1080, 1920)
@@ -130,7 +146,7 @@ def main():
     err2 = golden_err(ao, z, p2)
     results["configs"]["2_1080p_full"] = dict(
         ms=ms2, ms_min=mn2, mpix_s=(1920 * 1080 / 1e6) / (ms2 / 1e3),
-        max_abs_err=err2)
+        max_abs_err=err2, roofline=roofline(f2, ms2, 1080, 1920, zd))
 
     # ---- config 3: 1080p + normals + tunable sweep ------------------------
     z, n = scene(1080, 1920, with_normals=True)
@@ -158,7 +174,10 @@ def main():
                 for pp in sweep]
     results["configs"]["3_1080p_normals_sweep"] = dict(
         ms=ms3, ms_min=mn3, mpix_s=(1920 * 1080 / 1e6) / (ms3 / 1e3),
-        max_abs_err=err3, sweep_settings=len(sweep),
+        max_abs_err=err3,
+        roofline=roofline(f3, ms3, 1080, 1920, zd, nd, p3,
+                          use_normals=True),
+        sweep_settings=len(sweep),
         sweep_retraces=traces - 1,
         sweep_ms=[round(v, 4) for v in sweep_ms])
 
@@ -169,7 +188,7 @@ def main():
     err4 = None if FAST else golden_err(ao4, z4, p2)
     results["configs"]["4_4k_full"] = dict(
         ms=ms4, ms_min=mn4, mpix_s=(3840 * 2160 / 1e6) / (ms4 / 1e3),
-        max_abs_err=err4)
+        max_abs_err=err4, roofline=roofline(f2, ms4, 2160, 3840, zd4))
 
     # ---- config 4b: 8K single camera, single chip --------------------------
     # (VERDICT r1 item 2: used to OOM from the interleave's 64x layout
@@ -180,7 +199,7 @@ def main():
     err8 = None if FAST else golden_err(ao8, z8, p2)
     results["configs"]["4b_8k_full"] = dict(
         ms=ms8, ms_min=mn8, mpix_s=(7680 * 4320 / 1e6) / (ms8 / 1e3),
-        max_abs_err=err8)
+        max_abs_err=err8, roofline=roofline(f2, ms8, 4320, 7680, zd8))
     del zd8, ao8
 
     # ---- config 5: 8-view 1080p batch, view-sharded mesh ------------------
