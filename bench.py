@@ -77,13 +77,25 @@ def stray_processes() -> list[str]:
                         for a in f.read().split(b"\0") if a]
         except OSError:
             continue
-        # match only real python invocations of our scripts -- the driver
-        # harness embeds these filenames in its prompt text, so substring
-        # matching on the whole cmdline false-positives on it
+        # match only real python invocations -- the driver harness embeds
+        # these filenames in its prompt text, so substring matching on the
+        # whole cmdline false-positives on it
         if not argv or "python" not in os.path.basename(argv[0]):
             continue
-        if any(any(k in a for k in ("bench", "tpuao", "profile_stages"))
-               for a in argv[1:3]):
+        suspect = any(
+            any(k in a for k in ("bench", "tpuao", "profile_stages"))
+            for a in argv[1:3])
+        if not suspect:
+            # a leaked interactive/heredoc python holding a jax runtime
+            # (observed: a stale `python -` with 5 GB RSS silently skewing
+            # measurements) -- flag any big anonymous python
+            try:
+                with open(f"/proc/{pid}/statm") as f:
+                    rss_mb = int(f.read().split()[1]) * 4096 / 1e6
+            except (OSError, ValueError):
+                rss_mb = 0
+            suspect = argv[1:2] in (["-"], ["-c"]) and rss_mb > 500
+        if suspect:
             found.append(f"{pid}: {' '.join(argv)[:120]}")
     return found
 

@@ -40,28 +40,39 @@ def _interleave_axis(a, b, axis: int):
     return lax.pad(a, zero, cfg_a) + lax.pad(b, zero, cfg_b)
 
 
+def _row_interleave(a, b):
+    """[a0; b0; a1; b1; ...] along axis -2 via concat+reshape: row-major
+    reshape of (..., H, 2W) -> (..., 2H, W) splits each row [a_i | b_i]
+    into consecutive rows a_i, b_i -- an exact row interleave with no
+    small-minor intermediate."""
+    lead = a.shape[:-2]
+    rows = jnp.concatenate([a, b], axis=-1)
+    return rows.reshape(lead + (2 * a.shape[-2], a.shape[-1]))
+
+
 def interleave2x2(p00, p01, p10, p11):
     """Merge 4 parity planes (2p+q order) into the (2H, 2W) field.
 
-    Layout-bounded hybrid (every intermediate keeps a minor dim >= 2*lw):
+    Layout-bounded (every intermediate keeps a minor dim >= lh >= 128-ish,
+    never 2):
 
-      * columns: interior-padded adds (``_interleave_axis``) -- the only
-        lane-interleave XLA lowers without a small-minor temp;
-      * rows: ``concat(even, odd, axis=-1).reshape(2H, 2W)`` -- row-major
-        reshape of (H, 4W) splits each row into [even_r; odd_r], an exact
-        row interleave with no rank-4 temp.
+      1. rows (sublane parity p): ``_row_interleave`` per column parity;
+      2. columns (lane parity q): the same trick in transposed space --
+         transpose both row-merged fields, row-interleave, transpose back.
+         XLA's tiled transpose is ~memcpy speed.
 
-    The previous transpose/reshape form materialized a rank-4
-    f32[H/2,2,W/2,2] temp whose size-2 minor dim XLA pads to the 128-lane
-    tile: 64x HBM inflation (535 MB for the 8.4 MB 1080p output, measured
-    in the buffer assignment), OOM at 8K.
+    Two rejected forms, both measured: stack/transpose/reshape gives the
+    rank-4 temp a size-2 minor dim that XLA pads to the 128-lane tile
+    (64x HBM inflation: 1.2 GB of temps at 1080p, OOM at 8K); interior-
+    padded ``lax.pad`` adds are layout-safe but lower to ~0.24 us/px
+    whenever the result is materialized (~0.36 ms at 1080p vs 0.005 ms
+    for this form -- benchmarks/exp/colint2.py).
     """
-    lead = p00.shape[:-2]
-    lh = p00.shape[-2]
-    even = _interleave_axis(p00, p01, axis=-1)  # (..., lh, 2lw)
-    odd = _interleave_axis(p10, p11, axis=-1)
-    rows = jnp.concatenate([even, odd], axis=-1)  # (..., lh, 4lw)
-    return rows.reshape(lead + (2 * lh, even.shape[-1]))
+    even = _row_interleave(p00, p10)  # (..., 2lh, lw), columns 2j
+    odd = _row_interleave(p01, p11)   # (..., 2lh, lw), columns 2j+1
+    out_t = _row_interleave(jnp.swapaxes(even, -1, -2),
+                            jnp.swapaxes(odd, -1, -2))
+    return jnp.swapaxes(out_t, -1, -2)
 
 
 def interleave2x2_padded(p00, p01, p10, p11):
