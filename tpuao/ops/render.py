@@ -19,12 +19,36 @@ fallback for the Pallas kernel and the default on non-TPU backends.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tpuao.params import build_pair_table, sphere_radius_coef
 from tpuao.ops.prepare import pad_parity4
 
 HALO = 16  # max disc offset: 4 slice texels * stride 4
+
+
+@jax.custom_jvp
+def _pow_gradsafe(x, s):
+    """``x ** s`` with gradients defined at ``x == 0``.
+
+    Forward is bit-identical to ``jnp.power`` (the golden spec).  The raw
+    JVP is ``s*x^(s-1)*dx + x^s*log(x)*ds``, which is inf/nan at x=0 for
+    s<1 / any s; a fully-occluded pixel (vis=0) would poison every gradient
+    in the frame.  The JVP below evaluates at ``max(x, 1e-12)`` instead --
+    the standard clamped-subgradient convention, needed for the
+    differentiable-AO path (models/autodiff.py)."""
+    return jnp.power(x, s)
+
+
+@_pow_gradsafe.defjvp
+def _pow_gradsafe_jvp(primals, tangents):
+    x, s = primals
+    dx, ds = tangents
+    xs = jnp.maximum(x, 1e-12)
+    y = jnp.power(x, s)
+    dy = s * jnp.power(xs, s - 1.0) * dx + y * jnp.log(xs) * ds
+    return y, dy
 
 
 def _pair_constants(params):
@@ -104,4 +128,4 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         )
         vis = vis + (0.5 * w_pair) * pair_vis
 
-    return jnp.power(jnp.clip(vis, 0.0, 1.0), params.strength)
+    return _pow_gradsafe(jnp.clip(vis, 0.0, 1.0), params.strength)
