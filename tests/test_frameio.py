@@ -1,0 +1,111 @@
+"""Frame-IO tests: native PFM codec vs NumPy fallback, batch loader,
+prefetcher (utils/frameio.py + native/frameio.cpp)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpuao.utils import frameio as FIO
+from tpuao.utils import native as N
+
+
+def _frame(h=37, w=53, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.uniform(0.05, 1.0, (h, w)).astype(np.float32)
+
+
+def test_native_lib_builds():
+    # This environment has g++; the native path must actually be active
+    # (the fallback exists for toolchain-less installs, not for here).
+    assert N.get_lib() is not None
+
+
+def test_roundtrip_native(tmp_path):
+    z = _frame()
+    p = str(tmp_path / "d.pfm")
+    FIO.save_pfm(p, z)
+    got = FIO.load_pfm(p)
+    np.testing.assert_array_equal(got, z)
+
+
+def test_native_and_python_codecs_agree(tmp_path):
+    z = _frame(21, 19, seed=3)
+    p_native = str(tmp_path / "n.pfm")
+    p_py = str(tmp_path / "p.pfm")
+    FIO.save_pfm(p_native, z)
+    FIO._save_pfm_py(p_py, z)
+    with open(p_native, "rb") as a, open(p_py, "rb") as b:
+        assert a.read() == b.read()  # byte-identical files
+    np.testing.assert_array_equal(FIO._load_pfm_py(p_native),
+                                  FIO.load_pfm(p_py))
+
+
+def test_big_endian_pfm(tmp_path):
+    z = _frame(8, 8, seed=5)
+    p = str(tmp_path / "be.pfm")
+    with open(p, "wb") as f:  # positive scale => big-endian samples
+        f.write(b"Pf\n8 8\n1.0\n")
+        f.write(z[::-1].astype(">f4").tobytes())
+    np.testing.assert_array_equal(FIO.load_pfm(p), z)
+    np.testing.assert_array_equal(FIO._load_pfm_py(p), z)
+
+
+def test_batch_load_matches_singles(tmp_path):
+    frames = [_frame(seed=i) for i in range(7)]
+    paths = []
+    for i, z in enumerate(frames):
+        paths.append(FIO.save_pfm(str(tmp_path / f"f{i}.pfm"), z))
+    batch = FIO.load_pfm_batch(paths, threads=4)
+    assert batch.shape == (7, 37, 53) and batch.dtype == np.float32
+    for i, z in enumerate(frames):
+        np.testing.assert_array_equal(batch[i], z)
+
+
+def test_batch_size_mismatch_raises(tmp_path):
+    p1 = FIO.save_pfm(str(tmp_path / "a.pfm"), _frame(16, 16))
+    p2 = FIO.save_pfm(str(tmp_path / "b.pfm"), _frame(8, 8))
+    with pytest.raises(ValueError, match="size mismatch"):
+        FIO.load_pfm_batch([p1, p2])
+
+
+def test_missing_and_corrupt_files(tmp_path):
+    with pytest.raises(ValueError, match="cannot open"):
+        FIO.load_pfm(str(tmp_path / "nope.pfm"))
+    bad = tmp_path / "bad.pfm"
+    bad.write_bytes(b"P6\n1 1\n255\n\0\0\0")  # a PPM, not a PFM
+    with pytest.raises(ValueError, match="header"):
+        FIO.load_pfm(str(bad))
+    trunc = tmp_path / "trunc.pfm"
+    trunc.write_bytes(b"Pf\n4 4\n-1.0\n" + b"\0" * 10)
+    with pytest.raises(ValueError, match="truncated"):
+        FIO.load_pfm(str(trunc))
+
+
+def test_prefetcher_yields_all_batches_in_order(tmp_path):
+    batches = []
+    for b in range(3):
+        paths = [FIO.save_pfm(str(tmp_path / f"b{b}_{i}.pfm"),
+                              _frame(seed=10 * b + i)) for i in range(2)]
+        batches.append(paths)
+    got = list(FIO.FramePrefetcher(batches, depth=2))
+    assert len(got) == 3
+    for b, paths in enumerate(batches):
+        np.testing.assert_array_equal(got[b], FIO.load_pfm_batch(paths))
+
+
+def test_prefetcher_propagates_errors(tmp_path):
+    good = [FIO.save_pfm(str(tmp_path / "g.pfm"), _frame())]
+    it = FIO.FramePrefetcher([good, ["/nonexistent.pfm"]])
+    next(it)
+    with pytest.raises(ValueError, match="cannot open"):
+        next(it)
+
+
+def test_fallback_used_without_lib(tmp_path, monkeypatch):
+    monkeypatch.setattr(FIO, "_lib", lambda: None)
+    z = _frame(12, 20, seed=9)
+    p = FIO.save_pfm(str(tmp_path / "f.pfm"), z)
+    np.testing.assert_array_equal(FIO.load_pfm(p), z)
+    batch = FIO.load_pfm_batch([p, p])
+    np.testing.assert_array_equal(batch[1], z)

@@ -31,7 +31,8 @@ def test_native_normals_bit_identical():
 
 @needs_native
 def test_native_abi():
-    assert get_lib().tpuao_native_abi_version() == 1
+    from tpuao.utils.native import ABI_VERSION
+    assert get_lib().tpuao_native_abi_version() == ABI_VERSION
 
 
 def test_numpy_fallback_works_without_native(monkeypatch):

@@ -1,0 +1,220 @@
+"""Frame IO: PFM depth-map codec + threaded batch loader + prefetcher.
+
+The data-loader component of the framework (native where it counts, per the
+runtime design): the reference reads the camera's live depth buffer, a
+standalone framework ingests frames from disk.  Decode runs in
+``native/frameio.cpp`` (C ABI via ctypes, GIL released for the whole batch,
+work-stealing std::thread pool) with a pure-NumPy fallback so the package
+works without a toolchain.
+
+PFM (portable float map) is the interchange format: single-channel f32,
+lossless, trivially written by Blender/OpenCV/ImageMagick.  Rows in the
+file are bottom-up per the Netpbm spec; this module always presents
+row-major top-down ``(H, W) float32`` arrays.
+
+``FramePrefetcher`` overlaps disk decode with device compute: a background
+thread keeps ``depth`` batches one step ahead while the TPU renders the
+current one (the native loader holds no GIL, so the overlap is real).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import queue
+import threading
+from typing import Iterable, Sequence
+
+import numpy as np
+
+from tpuao.utils import native as N
+
+_ERR = {-1: "cannot open", -2: "bad PFM header (grayscale 'Pf' required)",
+        -3: "frame size mismatch", -4: "truncated data", -5: "write failed"}
+
+
+def _bind(lib):
+    if getattr(lib, "_fio_bound", False):
+        return lib
+    lib.fio_load_pfm.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int)]
+    lib.fio_load_pfm.restype = ctypes.c_int
+    lib.fio_save_pfm.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_int]
+    lib.fio_save_pfm.restype = ctypes.c_int
+    lib.fio_load_pfm_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.fio_load_pfm_batch.restype = ctypes.c_int
+    lib._fio_bound = True
+    return lib
+
+
+def _lib():
+    lib = N.get_lib()
+    return _bind(lib) if lib is not None else None
+
+
+# ---------------------------------------------------------------------------
+# Pure-NumPy fallback codec (the executable spec for the native one)
+# ---------------------------------------------------------------------------
+
+
+def _load_pfm_py(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        def token():
+            t = b""
+            c = f.read(1)
+            while c in b" \t\r\n":
+                c = f.read(1)
+            while c == b"#":  # comment to end of line
+                while c not in (b"\n", b""):
+                    c = f.read(1)
+                c = f.read(1)
+                while c in b" \t\r\n":
+                    c = f.read(1)
+            while c not in b" \t\r\n" and c != b"":
+                t += c
+                c = f.read(1)
+            return t
+
+        if token() != b"Pf":
+            raise ValueError(f"{path}: {_ERR[-2]}")
+        w, h = int(token()), int(token())
+        scale = float(token())
+        if w <= 0 or h <= 0 or scale == 0.0:
+            raise ValueError(f"{path}: {_ERR[-2]}")
+        dt = np.dtype("<f4" if scale < 0 else ">f4")
+        data = np.frombuffer(f.read(4 * h * w), dtype=dt)
+        if data.size != h * w:
+            raise ValueError(f"{path}: {_ERR[-4]}")
+        return data.reshape(h, w)[::-1].astype(np.float32)  # bottom-up
+
+
+def _save_pfm_py(path: str, arr: np.ndarray) -> None:
+    arr = np.asarray(arr, dtype=np.float32)
+    h, w = arr.shape
+    with open(path, "wb") as f:
+        f.write(f"Pf\n{w} {h}\n-1.0\n".encode())
+        f.write(arr[::-1].astype("<f4").tobytes())
+
+
+# ---------------------------------------------------------------------------
+# Public API (native when available)
+# ---------------------------------------------------------------------------
+
+
+def load_pfm(path: str) -> np.ndarray:
+    """One grayscale PFM -> (H, W) float32, top-down."""
+    lib = _lib()
+    if lib is None:
+        return _load_pfm_py(path)
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    rc = lib.fio_load_pfm(path.encode(), None, 0, 0,
+                          ctypes.byref(h), ctypes.byref(w))
+    if rc != 0:
+        raise ValueError(f"{path}: {_ERR.get(rc, rc)}")
+    out = np.empty((h.value, w.value), dtype=np.float32)
+    rc = lib.fio_load_pfm(path.encode(),
+                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          h.value, w.value, None, None)
+    if rc != 0:
+        raise ValueError(f"{path}: {_ERR.get(rc, rc)}")
+    return out
+
+
+def save_pfm(path: str, arr) -> str:
+    """(H, W) float array -> grayscale little-endian PFM."""
+    arr = np.ascontiguousarray(arr, dtype=np.float32)
+    if arr.ndim != 2:
+        raise ValueError(f"expected (H, W) depth frame, got {arr.shape}")
+    lib = _lib()
+    if lib is None:
+        _save_pfm_py(path, arr)
+        return path
+    rc = lib.fio_save_pfm(path.encode(),
+                          arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                          arr.shape[0], arr.shape[1])
+    if rc != 0:
+        raise ValueError(f"{path}: {_ERR.get(rc, rc)}")
+    return path
+
+
+def load_pfm_batch(paths: Sequence[str], threads: int | None = None
+                   ) -> np.ndarray:
+    """Same-size PFMs -> contiguous (N, H, W) float32, decoded in parallel.
+
+    All frames must match the first frame's dimensions (the multi-view /
+    video contract; a mismatch raises).  The native path releases the GIL
+    for the whole batch.
+    """
+    paths = list(paths)
+    if not paths:
+        return np.empty((0, 0, 0), dtype=np.float32)
+    lib = _lib()
+    if lib is None:
+        frames = [_load_pfm_py(p) for p in paths]
+        if any(f.shape != frames[0].shape for f in frames):
+            raise ValueError(_ERR[-3])
+        return np.stack(frames)
+    first = load_pfm(paths[0])
+    h, w = first.shape
+    out = np.empty((len(paths), h, w), dtype=np.float32)
+    out[0] = first
+    if len(paths) > 1:
+        rest = [p.encode() for p in paths[1:]]
+        arr = (ctypes.c_char_p * len(rest))(*rest)
+        err = ctypes.c_int()
+        nthreads = threads or min(len(rest), os.cpu_count() or 1)
+        rc = lib.fio_load_pfm_batch(
+            arr, len(rest),
+            out[1:].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            h, w, nthreads, ctypes.byref(err))
+        if rc != 0:
+            bad = paths[1:][rc - 1]
+            raise ValueError(f"{bad}: {_ERR.get(err.value, err.value)}")
+    return out
+
+
+class FramePrefetcher:
+    """Iterate (N, H, W) depth batches with background decode.
+
+    ``FramePrefetcher(batches_of_paths)`` yields each batch as float32
+    NumPy while the *next* batch decodes on a worker thread — the
+    data-loader side of a frames-in-flight pipeline (the device side is
+    ``parallel/``'s batched programs).  ``depth=2`` keeps up to two decoded
+    batches buffered.
+    """
+
+    def __init__(self, batches: Iterable[Sequence[str]], depth: int = 2,
+                 threads: int | None = None):
+        self._batches = iter(batches)
+        self._threads = threads
+        self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def _run(self):
+        try:
+            for paths in self._batches:
+                self._q.put(("ok", load_pfm_batch(paths, self._threads)))
+        except Exception as e:  # surfaced on the consumer side
+            self._q.put(("err", e))
+            return
+        self._q.put(("end", None))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        kind, val = self._q.get()
+        if kind == "ok":
+            return val
+        if kind == "err":
+            raise val
+        raise StopIteration

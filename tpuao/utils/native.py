@@ -17,7 +17,8 @@ import numpy as np
 
 _ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
-_SRC = os.path.join(_ROOT, "native", "raycast.cpp")
+_SRCS = [os.path.join(_ROOT, "native", f)
+         for f in ("raycast.cpp", "frameio.cpp")]
 _BUILD_DIR = os.path.join(_ROOT, "native", "build")
 _LIB = os.path.join(_BUILD_DIR, "libtpuao_native.so")
 
@@ -25,19 +26,21 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-ABI_VERSION = 1
+ABI_VERSION = 2  # v2: frameio entry points (fio_*)
 
 
 def _build() -> str | None:
-    if not os.path.exists(_SRC):
+    srcs = [s for s in _SRCS if os.path.exists(s)]
+    if not srcs:
         return None
     os.makedirs(_BUILD_DIR, exist_ok=True)
     if (os.path.exists(_LIB)
-            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
+            and os.path.getmtime(_LIB) >= max(map(os.path.getmtime, srcs))):
         return _LIB
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", _LIB]
+            + srcs,
             check=True, capture_output=True, timeout=120)
         return _LIB
     except (OSError, subprocess.SubprocessError):
