@@ -1,0 +1,79 @@
+"""2-D mesh (views x row-bands) tests on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpuao.models.pipeline import render_frame
+from tpuao.parallel.grid import make_grid_mesh, render_views_spatial
+from tpuao.params import AOParams, CameraParams
+from tpuao.utils import fixtures as F
+
+CAM = CameraParams(depth_mode="linear")
+PAR = AOParams()
+HALO = 320  # the default HALO_ROWS: full stencil reach, exact band joins
+
+
+def _views(v, h, w):
+    return np.stack([F.spheres_on_plane(h, w, n_spheres=4, seed=i)
+                     for i in range(v)]).astype(np.float32)
+
+
+def _padded_single(z):
+    padded = np.concatenate(
+        [np.tile(z[:1], (HALO, 1)), z, np.tile(z[-1:], (HALO, 1))], axis=0)
+    return np.asarray(render_frame(padded, CAM, PAR, impl="jnp"))[
+        HALO: HALO + z.shape[0]]
+
+
+def test_grid_2x4_matches_padded_single_device():
+    v, h, w = 2, 1280, 128  # 2 views x 4 bands of 320 rows
+    zs = _views(v, h, w)
+    mesh = make_grid_mesh(2, 4)
+    out = np.asarray(render_views_spatial(zs, CAM, PAR, mesh=mesh,
+                                          halo_rows=HALO))
+    assert out.shape == (v, h, w)
+    for i in range(v):
+        np.testing.assert_allclose(out[i], _padded_single(zs[i]), atol=1e-6)
+
+
+def test_grid_multiple_views_per_chip():
+    v, h, w = 4, 640, 128  # 4 views on a 2-view mesh -> lax.map of 2 each
+    zs = _views(v, h, w)
+    mesh = make_grid_mesh(2, 2)
+    out = np.asarray(render_views_spatial(zs, CAM, PAR, mesh=mesh,
+                                          halo_rows=HALO))
+    assert out.shape == (v, h, w)
+    for i in range(v):
+        np.testing.assert_allclose(out[i], _padded_single(zs[i]), atol=1e-6)
+
+
+def test_grid_collectives_neighbor_only_and_view_independent():
+    zs = _views(2, 1280, 128)
+    mesh = make_grid_mesh(2, 4)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from tpuao.parallel.grid import VIEW_AXIS, ROW_AXIS
+
+    spec = NamedSharding(mesh, P(VIEW_AXIS, ROW_AXIS, None))
+    d = jax.device_put(jnp.asarray(zs), spec)
+    hlo = jax.jit(
+        lambda x: render_views_spatial(x, CAM, PAR, mesh=mesh,
+                                       halo_rows=HALO)
+    ).lower(d).compile().as_text()
+    assert "collective-permute" in hlo  # row halo exchange
+    for coll in ("all-reduce", "all-gather", "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, coll
+
+
+def test_grid_constraints():
+    with pytest.raises(ValueError, match="needs"):
+        make_grid_mesh(4, 4)  # 16 > 8 CPU devices
+    with pytest.raises(AssertionError, match="divisible"):
+        render_views_spatial(np.ones((3, 1280, 128), np.float32),
+                             CAM, PAR, mesh=make_grid_mesh(2, 4),
+                             halo_rows=HALO)
+    with pytest.raises(AssertionError, match="multiple"):
+        render_views_spatial(np.ones((2, 100, 128), np.float32),
+                             CAM, PAR, mesh=make_grid_mesh(2, 4),
+                             halo_rows=HALO)

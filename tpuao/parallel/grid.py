@@ -1,0 +1,102 @@
+"""2-D mesh execution: views x row-bands on one device grid.
+
+Composes the two 1-D modes (``parallel/sharding.py`` data-parallel views,
+``parallel/spatial.py`` row-band spatial sharding) on a single 2-D
+``jax.sharding.Mesh``: the view axis is embarrassingly parallel (zero
+collectives), the row axis exchanges a fixed halo with mesh neighbors via
+``lax.ppermute`` -- ICI-neighbor traffic only, exactly as in the 1-D
+spatial mode.  This is the deployment shape for a pod slice rendering
+several large frames at once (e.g. 2 views x 4 bands on a v5e-8: each 8K
+frame is split across 4 chips while 2 frames run concurrently).
+
+The halo exchange happens once per chip for its whole local view block
+(the band slices are taken across all local views before ``lax.map``), so
+adding views does not add collectives.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tpuao.models.pipeline import ao_pipeline
+from tpuao.params import AOParams, CameraParams
+from tpuao.parallel.sharding import VIEW_AXIS
+from tpuao.parallel.spatial import HALO_ROWS, ROW_AXIS
+
+
+def make_grid_mesh(n_views: int, n_bands: int, devices=None) -> Mesh:
+    """(views, rows) 2-D mesh over the first n_views*n_bands devices."""
+    if devices is None:
+        devices = jax.devices()
+    need = n_views * n_bands
+    if len(devices) < need:
+        raise ValueError(f"grid {n_views}x{n_bands} needs {need} devices, "
+                         f"have {len(devices)}")
+    grid = np.asarray(devices[:need]).reshape(n_views, n_bands)
+    return Mesh(grid, (VIEW_AXIS, ROW_AXIS))
+
+
+def render_views_spatial(depths, camera=None, params=None,
+                         mesh: Mesh | None = None, impl: str = "jnp",
+                         halo_rows: int = HALO_ROWS):
+    """(V, H, W) depth batch -> (V, H, W) AO on a 2-D views x rows mesh.
+
+    Constraints (same as the 1-D modes they compose): V divisible by the
+    view-mesh size; H divisible by 64 * row-mesh size; bands at least one
+    halo tall.  Edge semantics match ``render_frame_spatial``: the frame is
+    edge-replicated by ``halo_rows`` at top/bottom, so per view the result
+    is bit-equal to the single-device pipeline on the halo-padded frame,
+    cropped.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    if mesh is None:
+        mesh = make_grid_mesh(1, len(jax.devices()))
+    nv = mesh.shape[VIEW_AXIS]
+    nr = mesh.shape[ROW_AXIS]
+    v, h, w = depths.shape
+    halo = halo_rows
+    assert v % nv == 0, f"views {v} not divisible by view mesh {nv}"
+    assert halo % 64 == 0, halo
+    assert h % (64 * nr) == 0, (
+        f"H={h} must be a multiple of 64*row-mesh ({64 * nr}); pad the frame")
+    assert h // nr >= halo, (
+        f"band height {h // nr} < halo {halo}: use fewer row bands")
+
+    spec = NamedSharding(mesh, P(VIEW_AXIS, ROW_AXIS, None))
+    depths = jax.device_put(jnp.asarray(depths, jnp.float32), spec)
+
+    def per_chip(d):  # (v/nv, h/nr, W)
+        idx = lax.axis_index(ROW_AXIS)
+        # one block-wide halo exchange with the row neighbors (per local
+        # view block, not per view: collectives don't scale with views)
+        from_above = lax.ppermute(
+            d[:, -halo:, :], ROW_AXIS,
+            perm=[(i, i + 1) for i in range(nr - 1)])
+        from_below = lax.ppermute(
+            d[:, :halo, :], ROW_AXIS,
+            perm=[(i + 1, i) for i in range(nr - 1)])
+        top_edge = jnp.tile(d[:, :1, :], (1, halo, 1))
+        bot_edge = jnp.tile(d[:, -1:, :], (1, halo, 1))
+        top = jnp.where(idx == 0, top_edge, from_above)
+        bot = jnp.where(idx == nr - 1, bot_edge, from_below)
+        ext = jnp.concatenate([top, d, bot], axis=1)
+
+        def one(e):  # unbatched frame program per local view (see
+            # sharding.py: measured faster than vmap batching on TPU)
+            ao = ao_pipeline(e, camera, params, None, impl=impl)[0]
+            return ao[halo: halo + d.shape[1], :]
+
+        if ext.shape[0] == 1:
+            return one(ext[0])[None]
+        return lax.map(one, ext)
+
+    fn = jax.shard_map(per_chip, mesh=mesh,
+                       in_specs=P(VIEW_AXIS, ROW_AXIS, None),
+                       out_specs=P(VIEW_AXIS, ROW_AXIS, None))
+    return jax.jit(fn)(depths)
