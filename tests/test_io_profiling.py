@@ -35,6 +35,21 @@ def test_device_time_ms_smoke():
     assert np.isfinite(ms)
 
 
+def test_stage_times_covers_all_stages():
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.utils.fixtures import spheres_on_plane
+    from tpuao.utils.profiling import stage_times_ms
+
+    z, n = spheres_on_plane(64, 128, n_spheres=2, seed=0, with_normals=True)
+    times = stage_times_ms(jnp.asarray(z, jnp.float32),
+                           CameraParams(depth_mode="linear"),
+                           AOParams(use_normals=True, hierarchy_depth=2),
+                           normals=jnp.asarray(n, jnp.float32), iters=2)
+    assert set(times) == {"prepare", "render_l1", "render_l2",
+                          "upsample_l1", "upsample_l2", "full_pipeline"}
+    assert all(np.isfinite(v) for v in times.values())
+
+
 def test_demo_script(tmp_path):
     import subprocess
     import sys

@@ -96,9 +96,16 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
 
 
 def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
-                   iters: int = 40) -> dict[str, float]:
+                   iters: int | None = None) -> dict[str, float]:
     """Per-stage wall-clock breakdown of the frame program (frame-debugger
-    analog).  Returns {stage_name: ms}."""
+    analog).  Returns {stage_name: ms}.
+
+    ``iters=None`` (default) auto-calibrates each stage's chain to ~400 ms
+    of device work -- sub-0.1 ms stages are pure noise with short fixed
+    chains (the round-1 methodology bug; see device_time_ms).  When
+    ``normals``/``params.use_normals`` are set, the render stages time the
+    tangent-corrected estimator on the real per-level slope inputs.
+    """
     from tpuao.models.pipeline import _pad_to_64
     from tpuao.models.pipeline import ao_pipeline
     from tpuao.ops import prepare as P
@@ -109,6 +116,7 @@ def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
     h0, w0 = depth.shape[-2:]
     hp, wp = padded_shape(h0, w0)
     d = params.hierarchy_depth
+    use_n = normals is not None and params.use_normals
     out = {}
 
     def prep(x):
@@ -118,9 +126,19 @@ def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
 
     out["prepare"] = device_time_ms(prep, depth, iters=iters)
     pyr = [jnp.asarray(x) for x in jax.jit(prep)(depth)]
+    if use_n:
+        npad = jnp.moveaxis(jnp.pad(
+            jnp.asarray(normals, jnp.float32),
+            [(0, hp - h0), (0, wp - w0), (0, 0)], mode="edge"), -1, -3)
+        npyr = [npad]
+        for _ in range(d):
+            npyr.append(npyr[-1][..., 0::2, :][..., :, 0::2])
+    else:
+        npyr = [None] * (d + 1)
     for l in range(1, d + 1):
         out[f"render_l{l}"] = device_time_ms(
-            lambda x, l=l: R.render_ao_level(x, l, wp, camera, params),
+            lambda x, n=npyr[l], l=l: R.render_ao_level(
+                x, l, wp, camera, params, n),
             pyr[l], iters=iters)
     rng = np.random.default_rng(0)
     for l in range(d, 0, -1):
