@@ -175,3 +175,18 @@ def test_fused_step_uneven_tiles(rng):
     got = np.asarray(PK.fused_render_upsample_step(ds, c1, hi, 1, 2 * lw,
                                                    cam, par, row_tile=16))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_batched_frames_all_impls():
+    # ADVICE r1: leading-batch input must work (or vmap-fallback) for every
+    # impl, not just "auto"/"jnp".
+    zs = np.stack([F.spheres_on_plane(64, 128, n_spheres=2, seed=s)
+                   for s in (0, 1)])
+    from tpuao.models.pipeline import render_frame
+
+    cam = CameraParams(depth_mode="linear")
+    want = np.asarray(render_frame(zs, cam, AOParams(), impl="jnp"))
+    for impl in ("pallas", "fused"):
+        got = np.asarray(render_frame(zs, cam, AOParams(), impl=impl))
+        assert got.shape == (2, 64, 128)
+        np.testing.assert_allclose(got, want, atol=1e-5)
