@@ -278,3 +278,22 @@ def test_full_res_720p_matches_golden():
     want = G.render_frame_golden(z, cam_g, GoldenAOParams())
     assert got.shape == (720, 1280)
     assert np.abs(got - want).max() <= 1e-3  # [BJ] budget; expect ~1e-5
+
+
+def test_out_dtype_formats():
+    """R8 render-texture analog (SURVEY SS3.0 RT inventory): uint8 output
+    is exactly round(ao_f32 * 255); bfloat16 is the f32 result cast."""
+    import jax.numpy as jnp
+
+    z = F.spheres_on_plane(96, 128, n_spheres=3, seed=2)
+    cam = CameraParams(depth_mode="linear")
+    f32 = np.asarray(render_frame(z, cam, AOParams()))
+    u8 = np.asarray(render_frame(z, cam, AOParams(), out_dtype="uint8"))
+    assert u8.dtype == np.uint8
+    want = (np.clip(f32, 0, 1) * 255.0 + 0.5).astype(np.uint8)
+    np.testing.assert_array_equal(u8, want)
+    bf = render_frame(z, cam, AOParams(), out_dtype="bfloat16")
+    assert bf.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(bf, np.float32), f32, atol=4e-3)
+    with pytest.raises(ValueError, match="out_dtype"):
+        render_frame(z, cam, AOParams(), out_dtype="int32")

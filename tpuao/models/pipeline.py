@@ -155,10 +155,29 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
     return combined[..., :h0, :w0], debug
 
 
+def _quantize(out, out_dtype: str):
+    """Output-format conversion (the reference's R8 render-texture analog).
+
+    ``"float32"`` passthrough; ``"bfloat16"`` halves output traffic;
+    ``"uint8"`` is the reference's R8 AO buffer: round(x * 255).  XLA fuses
+    the conversion into the producing kernel -- no extra pass.
+    """
+    if out_dtype == "float32":
+        return out
+    if out_dtype == "bfloat16":
+        return out.astype(jnp.bfloat16)
+    if out_dtype == "uint8":
+        return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
+    raise ValueError(f"unsupported out_dtype {out_dtype!r} "
+                     "(float32 | bfloat16 | uint8)")
+
+
 def _render_frame_impl(depth, camera, params, normals, color,
-                       debug_outputs: bool, impl: str):
+                       debug_outputs: bool, impl: str,
+                       out_dtype: str = "float32"):
     ao, debug = ao_pipeline(depth, camera, params, normals, impl=impl)
     out = ao if color is None else C.composite(color, ao)
+    out = _quantize(out, out_dtype)
     if debug_outputs:
         return out, debug
     return out
@@ -171,24 +190,29 @@ from tpuao.utils.xla_opts import tpu_compiler_options  # noqa: E402
 def _render_frame_jit_for_backend(backend: str):
     return jax.jit(
         _render_frame_impl,
-        static_argnames=("debug_outputs", "impl"),
+        static_argnames=("debug_outputs", "impl", "out_dtype"),
         compiler_options=tpu_compiler_options(),
     )
 
 
 def _render_frame_jit(depth, camera, params, normals, color,
-                      debug_outputs: bool, impl: str):
+                      debug_outputs: bool, impl: str,
+                      out_dtype: str = "float32"):
     fn = _render_frame_jit_for_backend(jax.default_backend())
     return fn(depth, camera, params, normals, color,
-              debug_outputs=debug_outputs, impl=impl)
+              debug_outputs=debug_outputs, impl=impl, out_dtype=out_dtype)
 
 
 def render_frame(depth, camera=None, params=None, normals=None, color=None,
-                 debug_outputs: bool = False, impl: str = "auto"):
+                 debug_outputs: bool = False, impl: str = "auto",
+                 out_dtype: str = "float32"):
     """Full AO pipeline on one frame (or a leading-batch of frames).
 
     Returns the AO buffer (or AO-multiplied color if ``color`` is given);
     with ``debug_outputs=True`` also returns the intermediate pyramid dict.
+    ``out_dtype`` selects the output format: ``"float32"`` (default),
+    ``"bfloat16"``, or ``"uint8"`` -- the reference's R8 AO render texture
+    (round(ao * 255); SURVEY.md SS3.0 RT inventory).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
@@ -198,7 +222,7 @@ def render_frame(depth, camera=None, params=None, normals=None, color=None,
     if color is not None:
         color = jnp.asarray(color)
     return _render_frame_jit(depth, camera, params, normals, color,
-                             debug_outputs, impl)
+                             debug_outputs, impl, out_dtype)
 
 
 def _single_scale_impl(depth, camera, params, impl: str):
