@@ -297,3 +297,13 @@ def test_out_dtype_formats():
     np.testing.assert_allclose(np.asarray(bf, np.float32), f32, atol=4e-3)
     with pytest.raises(ValueError, match="out_dtype"):
         render_frame(z, cam, AOParams(), out_dtype="int32")
+
+
+def test_engine_out_dtype():
+    z = F.spheres_on_plane(96, 128, n_spheres=3, seed=2)
+    from tpuao.models.pipeline import AmbientOcclusionEngine
+
+    eng = AmbientOcclusionEngine(CameraParams(depth_mode="linear"),
+                                 out_dtype="uint8")
+    out = np.asarray(eng.render(z))
+    assert out.dtype == np.uint8 and out.shape == (96, 128)

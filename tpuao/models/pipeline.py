@@ -263,11 +263,12 @@ class AmbientOcclusionEngine:
 
     def __init__(self, camera: CameraParams | None = None,
                  params: AOParams | None = None, impl: str = "auto",
-                 debug: bool = False):
+                 debug: bool = False, out_dtype: str = "float32"):
         self.camera = camera or CameraParams()
         self._params = (params or AOParams()).validate()
         self.impl = impl
         self.debug = debug  # debug blit mode (SURVEY.md SS3.4)
+        self.out_dtype = out_dtype  # R8 RT analog: "uint8" (SS3.0)
 
     # --- component API: validated tunable properties ---
     @property
@@ -304,6 +305,7 @@ class AmbientOcclusionEngine:
                               None, False, self.impl)
             return C.debug_view(ao, color.shape[-1])
         return render_frame(depth, self.camera, self._params, normals,
-                            color, debug_outputs, self.impl)
+                            color, debug_outputs, self.impl,
+                            out_dtype=self.out_dtype)
 
     __call__ = render
