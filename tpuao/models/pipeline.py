@@ -81,19 +81,7 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
     h0, w0 = depth.shape[-2:]
     hp, wp = padded_shape(h0, w0)
     depth = _pad_to_64(depth.astype(jnp.float32), hp, wp)
-    if normals is not None and params.use_normals:
-        npad = jnp.pad(
-            normals.astype(jnp.float32),
-            [(0, 0)] * (normals.ndim - 3)
-            + [(0, hp - h0), (0, wp - w0), (0, 0)],
-            mode="edge",
-        )
-        # channel-first planes: an (H, W, 3) array has a minor dim of 3,
-        # which TPU layouts pad to the 128-lane tile (~42x HBM inflation);
-        # (3, H, W) keeps every buffer on the natural (8, 128) tiling.
-        npad = jnp.moveaxis(npad, -1, -3)
-    else:
-        npad = None
+    use_n = normals is not None and params.use_normals
 
     d = params.hierarchy_depth
     render_level = _select_render_impl(impl)
@@ -101,9 +89,32 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
     with jax.named_scope("ao_prepare"):
         linz = P.linearize_depth(depth, camera)
         pyr = P.build_pyramid(linz, d)
-        if npad is not None:
-            # normals are (..., 3, H, W): pick-one downsample of the last
-            # two axes, same rule as the depth pyramid
+        if use_n:
+            # Tangent slopes g_x, g_y computed ONCE at full res (level-0
+            # scale; render folds in the exact 2^level), then pick-one
+            # pyramided as two rank-2 planes -- a (3, H, W) normals pyramid
+            # costs ~10x more (rank-3 strided slices lower badly on TPU;
+            # measured 0.25 ms vs 0.02 ms at 1080p, VERDICT r1 item 4 /
+            # benchmarks/exp/normals_prologue.py).
+            g_x0, g_y0 = R.slope_planes(normals.astype(jnp.float32),
+                                        camera.tan_half_fov_h, wp)
+            g_x0 = _pad_to_64(g_x0, hp, wp)
+            g_y0 = _pad_to_64(g_y0, hp, wp)
+            spyr = [(g_x0, g_y0)]
+            for _ in range(d):
+                gx, gy = spyr[-1]
+                spyr.append((gx[..., 0::2, :][..., :, 0::2],
+                             gy[..., 0::2, :][..., :, 0::2]))
+        else:
+            spyr = [None] * (d + 1)
+        if use_n and impl == "pallas":
+            # the Pallas kernel takes raw per-level normals (opt-in path;
+            # it computes slopes in-kernel from SMEM scalars)
+            npad = jnp.moveaxis(jnp.pad(
+                normals.astype(jnp.float32),
+                [(0, 0)] * (normals.ndim - 3)
+                + [(0, hp - h0), (0, wp - w0), (0, 0)], mode="edge"),
+                -1, -3)
             npyr = [npad]
             for _ in range(d):
                 npyr.append(npyr[-1][..., 0::2, :][..., :, 0::2])
@@ -113,14 +124,18 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
     # impl="fused": the per-level render is fused with its chain step in one
     # Pallas kernel (depth-only; normals fall back), so only the coarsest
     # level renders standalone.
-    fused = (impl == "fused" and not (params.use_normals and npad is not None)
-             and params.enable_blur)
+    fused = (impl == "fused" and not use_n and params.enable_blur)
     aos = {}
     for l in range(1, d + 1):
         if fused and l != d:
             continue
         with jax.named_scope(f"ao_render_l{l}"):
-            aos[l] = render_level(pyr[l], l, wp, camera, params, npyr[l])
+            if use_n and impl != "pallas":
+                aos[l] = render_level(pyr[l], l, wp, camera, params,
+                                      slopes_ds=spyr[l])
+            else:
+                aos[l] = render_level(pyr[l], l, wp, camera, params,
+                                      npyr[l])
 
     debug = {"linear_z": linz, "ao_levels": aos,
              "pyramid": {l: pyr[l] for l in range(d + 1)}}

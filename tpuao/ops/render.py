@@ -61,39 +61,77 @@ def _pair_constants(params):
     return out
 
 
+def slope_planes(normals, tan_half_fov_h, full_width: int):
+    """(g_x, g_y) tangent-slope planes at level-0 texel scale.
+
+    ``normals`` is channel-last (..., H, W, 3) or channel-first
+    (..., 3, H, W).  g = (n_x, n_y) / max(n_z, 0.05) * texel_scale(level 0);
+    at hierarchy level l the slope per level-l texel is exactly g * 2^l
+    (texel_scale doubles per level -- a power of two, so the scaling is
+    exact), which render_ao_level folds into its static pair offsets.
+
+    Computing these ONCE at full resolution and pick-one-downsampling the
+    two rank-2 planes replaces the (3, H, W) normals pyramid: rank-3
+    strided slicing lowers ~10x slower than rank-2 on TPU (measured,
+    benchmarks/exp/normals_prologue.py: 0.25 ms vs 0.02 ms at 1080p).
+    """
+    if normals.shape[-1] == 3 and (normals.ndim < 3
+                                   or normals.shape[-3] != 3):
+        n_x = normals[..., 0]
+        n_y = normals[..., 1]
+        n_z = normals[..., 2]
+    else:
+        n_x = normals[..., 0, :, :]
+        n_y = normals[..., 1, :, :]
+        n_z = normals[..., 2, :, :]
+    ts0 = 2.0 * tan_half_fov_h / full_width
+    grad = ts0 / jnp.maximum(n_z.astype(jnp.float32), 0.05)
+    return n_x.astype(jnp.float32) * grad, n_y.astype(jnp.float32) * grad
+
+
 def render_ao_level(ds, level: int, full_width: int, camera, params,
-                    normals_ds=None):
+                    normals_ds=None, slopes_ds=None):
     """AO estimate at hierarchy level `level` on the 1/2^level depth buffer.
 
     Pure-jnp mirror of golden render_ao_level; all loops are static Python
     over the 34-pair table, so the traced program is a flat chain of shifted
     slices + FMAs that XLA fuses into one pass.
+
+    The tangent-corrected path takes either ``normals_ds`` (the level's
+    normals buffer, golden-parity entry) or ``slopes_ds`` -- the level's
+    ``slope_planes`` at level-0 scale (the pipeline's fast prologue).
     """
     ds = ds.astype(jnp.float32)
     pairs = _pair_constants(params)
     radius_coef = sphere_radius_coef(
         level, full_width, camera.tan_half_fov_h, params.screenspace_diameter
     )
-    texel_scale = 2.0 * camera.tan_half_fov_h / (full_width // (1 << level))
 
     h, w = ds.shape[-2:]
     zp = pad_parity4(ds, HALO)
-    use_n = normals_ds is not None and params.use_normals
+    use_n = params.use_normals and (normals_ds is not None
+                                    or slopes_ds is not None)
     if use_n:
-        # Accept channel-first (..., 3, h, w) planes (the pipeline's TPU
-        # layout -- a minor dim of 3 tiles catastrophically on TPU) or the
-        # golden's channel-last (..., h, w, 3).
-        if normals_ds.shape[-1] == 3 and normals_ds.shape[-3] != 3:
-            normals_ds = jnp.moveaxis(normals_ds, -1, -3)
-        nrm = normals_ds.astype(jnp.float32)
-        # Only the *center* normal is read by the tangent test (the golden
-        # windows npad at offset (0,0) == the unpadded buffer), so no
-        # parity padding is needed.  Precompute the per-level slope buffers
-        # once: gx/gy = (nx,ny)/nz * texel_scale (VERDICT r1 item 4).
-        n_z = jnp.maximum(nrm[..., 2, :, :], 0.05)
-        grad = texel_scale / n_z
-        g_x = nrm[..., 0, :, :] * grad
-        g_y = nrm[..., 1, :, :] * grad
+        if slopes_ds is not None:
+            # level-0-scale slopes: fold the exact 2^level into the static
+            # pair offsets below
+            g_x, g_y = (s.astype(jnp.float32) for s in slopes_ds)
+            off_scale = float(1 << level)
+        else:
+            # Accept channel-first (..., 3, h, w) planes (the pipeline's TPU
+            # layout -- a minor dim of 3 tiles catastrophically) or the
+            # golden's channel-last (..., h, w, 3).  Only the *center*
+            # normal is read by the tangent test, so no parity padding.
+            if normals_ds.shape[-1] == 3 and normals_ds.shape[-3] != 3:
+                normals_ds = jnp.moveaxis(normals_ds, -1, -3)
+            nrm = normals_ds.astype(jnp.float32)
+            texel_scale = 2.0 * camera.tan_half_fov_h / (
+                full_width // (1 << level))
+            n_z = jnp.maximum(nrm[..., 2, :, :], 0.05)
+            grad = texel_scale / n_z
+            g_x = nrm[..., 0, :, :] * grad
+            g_y = nrm[..., 1, :, :] * grad
+            off_scale = 1.0
 
     def window(arr, dy, dx):
         return arr[..., HALO + dy: HALO + dy + h, HALO + dx: HALO + dx + w]
@@ -113,7 +151,7 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         zs2 = window(zp, -dy, -dx)
         if use_n:
             # soft-clamped tangent correction (see golden _tangent_offset)
-            x = g_x * dx + g_y * dy
+            x = g_x * (dx * off_scale) + g_y * (dy * off_scale)
             m2 = (0.5 * radius_coef * t) ** 2
             rel = x * m2 / (m2 + x * x)
             d1 = 1.0 + (zs1 * inv_zc - (1.0 + rel)) * inv_r

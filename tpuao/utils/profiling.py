@@ -127,18 +127,20 @@ def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
     out["prepare"] = device_time_ms(prep, depth, iters=iters)
     pyr = [jnp.asarray(x) for x in jax.jit(prep)(depth)]
     if use_n:
-        npad = jnp.moveaxis(jnp.pad(
-            jnp.asarray(normals, jnp.float32),
-            [(0, hp - h0), (0, wp - w0), (0, 0)], mode="edge"), -1, -3)
-        npyr = [npad]
+        gx, gy = R.slope_planes(jnp.asarray(normals, jnp.float32),
+                                camera.tan_half_fov_h, wp)
+        gx = _pad_to_64(gx, hp, wp)
+        gy = _pad_to_64(gy, hp, wp)
+        spyr = [(gx, gy)]
         for _ in range(d):
-            npyr.append(npyr[-1][..., 0::2, :][..., :, 0::2])
+            a, b = spyr[-1]
+            spyr.append((a[0::2, :][:, 0::2], b[0::2, :][:, 0::2]))
     else:
-        npyr = [None] * (d + 1)
+        spyr = [None] * (d + 1)
     for l in range(1, d + 1):
         out[f"render_l{l}"] = device_time_ms(
-            lambda x, n=npyr[l], l=l: R.render_ao_level(
-                x, l, wp, camera, params, n),
+            lambda x, s=spyr[l], l=l: R.render_ao_level(
+                x, l, wp, camera, params, slopes_ds=s),
             pyr[l], iters=iters)
     rng = np.random.default_rng(0)
     for l in range(d, 0, -1):
