@@ -307,3 +307,34 @@ def test_engine_out_dtype():
                                  out_dtype="uint8")
     out = np.asarray(eng.render(z))
     assert out.dtype == np.uint8 and out.shape == (96, 128)
+
+
+def test_banded_render_variant():
+    """Row-banded render variant (investigated for 8K; kept tested, not
+    wired into auto -- see pipeline render loop NOTE): agrees with the
+    whole-level program to <=1 ULP (FMA-contraction differences)."""
+    from tpuao.ops import render as R
+    from tpuao.ops.prepare import linearize_depth, build_pyramid
+    import jax.numpy as jnp
+
+    cam = CameraParams(depth_mode="linear")
+    z, n = F.spheres_on_plane(192, 256, n_spheres=4, seed=5,
+                              with_normals=True)
+    ds1 = build_pyramid(linearize_depth(jnp.asarray(z, jnp.float32), cam),
+                        1)[1]
+    par = AOParams()
+    want = np.asarray(R.render_ao_level(ds1, 1, 256, cam, par))
+    for band in (32, 40, 96):  # includes a non-dividing band size
+        got = np.asarray(R.render_ao_level_banded(ds1, 1, 256, cam, par,
+                                                  band_rows=band))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    # slopes variant
+    pn = AOParams(use_normals=True)
+    gx, gy = R.slope_planes(jnp.asarray(n, jnp.float32),
+                            cam.tan_half_fov_h, 256)
+    sl = (gx[0::2][:, 0::2], gy[0::2][:, 0::2])
+    want_n = np.asarray(R.render_ao_level(ds1, 1, 256, cam, pn,
+                                          slopes_ds=sl))
+    got_n = np.asarray(R.render_ao_level_banded(ds1, 1, 256, cam, pn,
+                                                slopes_ds=sl, band_rows=40))
+    np.testing.assert_allclose(got_n, want_n, atol=1e-6)

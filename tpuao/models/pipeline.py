@@ -130,6 +130,11 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
         if fused and l != d:
             continue
         with jax.named_scope(f"ao_render_l{l}"):
+            # NOTE: a row-banded render (R.render_ao_level_banded) wins 17%
+            # standalone on 8K's level 1 but loses that win in-pipeline
+            # (11.17 -> 11.51 ms full 8K frame) -- the band stack breaks
+            # fusion with the surrounding program.  Kept as a tested
+            # variant, not wired into auto (docs/PERF.md '8K').
             if use_n and impl != "pallas":
                 aos[l] = render_level(pyr[l], l, wp, camera, params,
                                       slopes_ds=spyr[l])

@@ -21,6 +21,7 @@ from __future__ import annotations
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from tpuao.params import build_pair_table, sphere_radius_coef
 from tpuao.ops.prepare import pad_parity4
@@ -133,12 +134,27 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
             g_y = nrm[..., 1, :, :] * grad
             off_scale = 1.0
 
+    gxy = (g_x, g_y, off_scale) if use_n else None
+    return _render_core(zp, h, w, pairs, radius_coef, params, gxy)
+
+
+def _render_core(zp, h: int, w: int, pairs, radius_coef, params, gxy=None):
+    """The 68-tap pair loop on a pre-padded buffer ``zp`` (h+2H, w+2H).
+
+    ``gxy = (g_x, g_y, off_scale)`` enables the tangent correction.
+    Shared by the whole-level path and the row-banded path (which calls it
+    per band with identical window values -- bit-equal by construction).
+    """
+
     def window(arr, dy, dx):
         return arr[..., HALO + dy: HALO + dy + h, HALO + dx: HALO + dx + w]
 
-    z_c = ds
+    z_c = window(zp, 0, 0)
     inv_zc = 1.0 / z_c
     falloff = params.rejection_falloff
+    use_n = gxy is not None
+    if use_n:
+        g_x, g_y, off_scale = gxy
 
     # NOTE: the naive 1 + (zs*inv_zc - 1)*inv_r form fuses best under XLA
     # (an algebraic FMA refactor with per-entry a_i = inv_zc*inv_r temps
@@ -167,3 +183,66 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         vis = vis + (0.5 * w_pair) * pair_vis
 
     return _pow_gradsafe(jnp.clip(vis, 0.0, 1.0), params.strength)
+
+
+def render_ao_level_banded(ds, level: int, full_width: int, camera, params,
+                           slopes_ds=None, band_rows: int = 256):
+    """``render_ao_level`` evaluated in row bands via ``lax.map``.
+
+    Same math on the same values as the whole-level path: the frame is
+    parity-padded once, each band is a (band_rows + 2*HALO)-row slice of
+    that padded buffer, and the same ``_render_core`` runs per band.
+    (Results agree to <=1 ULP, not bitwise: XLA's FMA contraction differs
+    between the lax.map body and the flat program.)  Purpose: above a few
+    Mpix per level, XLA's whole-level fusion goes HBM-bound (each of the 68
+    shifted windows re-reads the buffer; 41x scaling from 1080p to 8K,
+    benchmarks/exp/big_frame_kernels.py) while a band's working set stays
+    VMEM-resident.
+    """
+    if ds.ndim > 2:
+        fn = lambda d, s=None: render_ao_level_banded(
+            d, level, full_width, camera, params,
+            slopes_ds=s, band_rows=band_rows)
+        if slopes_ds is None:
+            return jax.vmap(lambda d: fn(d))(ds)
+        return jax.vmap(lambda d, gx, gy: fn(d, (gx, gy)))(
+            ds, slopes_ds[0], slopes_ds[1])
+
+    ds = ds.astype(jnp.float32)
+    pairs = _pair_constants(params)
+    radius_coef = sphere_radius_coef(
+        level, full_width, camera.tan_half_fov_h, params.screenspace_diameter
+    )
+    h, w = ds.shape
+    use_n = params.use_normals and slopes_ds is not None
+
+    zp = pad_parity4(ds, HALO)
+    nb = -(-h // band_rows)
+    hpad = nb * band_rows - h
+    if hpad:
+        # rows that only feed cropped outputs; replicate so depths stay valid
+        zp = jnp.concatenate([zp, jnp.tile(zp[-1:, :], (hpad, 1))], axis=0)
+    bands = jnp.stack([zp[i * band_rows: i * band_rows + band_rows + 2 * HALO]
+                       for i in range(nb)])
+
+    if use_n:
+        off_scale = float(1 << level)
+        gs = []
+        for g in slopes_ds:
+            g = g.astype(jnp.float32)
+            if hpad:
+                g = jnp.concatenate(
+                    [g, jnp.tile(g[-1:, :], (hpad, 1))], axis=0)
+            gs.append(g.reshape(nb, band_rows, w))
+
+        def core(args):
+            b, gx, gy = args
+            return _render_core(b, band_rows, w, pairs, radius_coef, params,
+                                (gx, gy, off_scale))
+
+        out = lax.map(core, (bands, gs[0], gs[1]))
+    else:
+        out = lax.map(
+            lambda b: _render_core(b, band_rows, w, pairs, radius_coef,
+                                   params), bands)
+    return out.reshape(nb * band_rows, w)[:h]
