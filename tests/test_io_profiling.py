@@ -63,3 +63,33 @@ def test_demo_script(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     for f in ("depth.png", "ao.png", "ao_normals.png", "ao_level1.png"):
         assert (tmp_path / f).exists(), f
+
+
+def test_streaming_script(tmp_path):
+    import subprocess
+    import sys
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/streaming.py", "96x128", "4",
+         str(tmp_path)],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "ao_last.png").exists()
+    assert "4 frames" in r.stdout
+
+
+def test_calibrate_script():
+    import subprocess
+    import sys
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/calibrate.py", "96x128"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert "strength" in r.stdout
