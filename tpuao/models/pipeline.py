@@ -318,6 +318,19 @@ class AmbientOcclusionEngine:
         lambda s: s._params.strength,
         lambda s, v: s._set(strength=v))
 
+    # --- config persistence (Unity serialized-component analog) ---
+    def save_config(self, path: str) -> str:
+        from tpuao.params import save_config
+
+        return save_config(path, self._params, self.camera)
+
+    @classmethod
+    def from_config(cls, path: str, **kw) -> "AmbientOcclusionEngine":
+        from tpuao.params import load_config
+
+        params, camera = load_config(path)
+        return cls(camera, params, **kw)
+
     # --- per-frame entry (command-buffer replay analog) ---
     def render(self, depth, normals=None, color=None, debug_outputs=False):
         if self.debug and color is not None:

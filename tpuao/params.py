@@ -253,6 +253,57 @@ def to_golden(params, camera) -> tuple[GoldenAOParams, GoldenCameraParams]:
 
 
 # ---------------------------------------------------------------------------
+# Config persistence (the reference's Unity-scene serialized fields,
+# SURVEY.md SS6 "Config / flag system"): JSON round-trip for the component
+# state so a tuned setup can be saved/shared like a Unity prefab.
+# ---------------------------------------------------------------------------
+
+
+def params_to_dict(params) -> dict:
+    """AOParams/CameraParams -> plain-float dict (JSON-ready)."""
+    import numpy as _np
+
+    out = {}
+    for f in dataclasses.fields(params):
+        v = getattr(params, f.name)
+        if isinstance(v, (bool, int, str)):
+            out[f.name] = v
+        else:
+            out[f.name] = float(_np.asarray(v))
+    return out
+
+
+def params_from_dict(cls, d: dict):
+    """Inverse of params_to_dict; validates AOParams ranges on load."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    unknown = set(d) - names
+    if unknown:
+        raise ValueError(f"unknown {cls.__name__} fields: {sorted(unknown)}")
+    obj = cls(**d)
+    return obj.validate() if hasattr(obj, "validate") else obj
+
+
+def save_config(path: str, params, camera) -> str:
+    """Write {ao, camera} JSON (the engine's serialized component state)."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump({"ao": params_to_dict(params),
+                   "camera": params_to_dict(camera)}, f, indent=2)
+    return path
+
+
+def load_config(path: str):
+    """Read a save_config file -> (AOParams, CameraParams), validated."""
+    import json
+
+    with open(path) as f:
+        d = json.load(f)
+    return (params_from_dict(AOParams, d["ao"]),
+            params_from_dict(CameraParams, d["camera"]))
+
+
+# ---------------------------------------------------------------------------
 # Derived per-level constants (the reference's host-side uniform math,
 # SURVEY.md SS3.2 / SS4.1 "CPU: compute SampleThickness, invThickness tables")
 # ---------------------------------------------------------------------------
