@@ -232,6 +232,18 @@ def main():
         mpix_s=(views * 1920 * 1080 / 1e6) / (ms5 / 1e3),
         mesh_devices=int(mesh.devices.size))
 
+    # ---- quality ladder: presets at 1080p (reference QualityLevel analog).
+    # Timing only -- preset math is golden-tested in pytest; zd/nd are the
+    # config-3 1080p scene.
+    from tpuao.models.presets import PRESETS
+
+    ladder = {}
+    for name, pp in PRESETS.items():
+        fq = jax.jit(lambda d, nn, pp=pp: ao_pipeline(
+            d, cam, pp, nn if pp.use_normals else None, impl=impl)[0])
+        ladder[name] = round(device_time_ms(fq, zd, nd, iters=REPS), 4)
+    results["quality_ladder_1080p_ms"] = ladder
+
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(results, f, indent=2)
 
