@@ -90,6 +90,29 @@ def slope_planes(normals, tan_half_fov_h, full_width: int):
     return n_x.astype(jnp.float32) * grad, n_y.astype(jnp.float32) * grad
 
 
+def slope_pyramid(normals, tan_half_fov_h, hp: int, wp: int, depth: int,
+                  h0: int | None = None, w0: int | None = None):
+    """Edge-padded slope planes + their pick-one pyramid.
+
+    Returns ``[(g_x, g_y)] * (depth + 1)`` with level l at 1/2^l resolution
+    of the (hp, wp) padded frame; feed level l to ``render_ao_level`` as
+    ``slopes_ds``.  Used by the pipeline prologue and the stage profiler.
+    """
+    g_x, g_y = slope_planes(normals, tan_half_fov_h, wp)
+    h0 = h0 if h0 is not None else g_x.shape[-2]
+    w0 = w0 if w0 is not None else g_x.shape[-1]
+    if (hp, wp) != (h0, w0):
+        cfg = [(0, 0)] * (g_x.ndim - 2) + [(0, hp - h0), (0, wp - w0)]
+        g_x = jnp.pad(g_x, cfg, mode="edge")
+        g_y = jnp.pad(g_y, cfg, mode="edge")
+    pyr = [(g_x, g_y)]
+    for _ in range(depth):
+        gx, gy = pyr[-1]
+        pyr.append((gx[..., 0::2, :][..., :, 0::2],
+                    gy[..., 0::2, :][..., :, 0::2]))
+    return pyr
+
+
 def render_ao_level(ds, level: int, full_width: int, camera, params,
                     normals_ds=None, slopes_ds=None):
     """AO estimate at hierarchy level `level` on the 1/2^level depth buffer.

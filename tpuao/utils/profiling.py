@@ -127,14 +127,9 @@ def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
     out["prepare"] = device_time_ms(prep, depth, iters=iters)
     pyr = [jnp.asarray(x) for x in jax.jit(prep)(depth)]
     if use_n:
-        gx, gy = R.slope_planes(jnp.asarray(normals, jnp.float32),
-                                camera.tan_half_fov_h, wp)
-        gx = _pad_to_64(gx, hp, wp)
-        gy = _pad_to_64(gy, hp, wp)
-        spyr = [(gx, gy)]
-        for _ in range(d):
-            a, b = spyr[-1]
-            spyr.append((a[0::2, :][:, 0::2], b[0::2, :][:, 0::2]))
+        spyr = R.slope_pyramid(jnp.asarray(normals, jnp.float32),
+                               camera.tan_half_fov_h, hp, wp, d,
+                               h0=h0, w0=w0)
     else:
         spyr = [None] * (d + 1)
     for l in range(1, d + 1):
