@@ -1,0 +1,56 @@
+"""Projection-matrix camera extraction tests (utils/camera.py): the
+reference's ZMagic-from-projectionMatrix path (SURVEY.md SS3.1)."""
+
+import numpy as np
+import pytest
+
+from tpuao.ops.prepare import linearize_depth
+from tpuao.utils.camera import (camera_from_projection, hardware_depth,
+                                perspective_projection)
+
+
+@pytest.mark.parametrize("reversed_z", [True, False])
+def test_roundtrip(reversed_z):
+    p = perspective_projection(0.3, 250.0, 0.7, aspect=2.0,
+                               reversed_z=reversed_z)
+    cam = camera_from_projection(p)
+    assert cam.reversed_z is reversed_z
+    assert cam.near == pytest.approx(0.3)
+    assert cam.far == pytest.approx(250.0)
+    assert cam.tan_half_fov_h == pytest.approx(0.7)
+
+
+def test_linearize_inverts_matrix_depth():
+    """hardware depth produced by the matrix, linearized with the extracted
+    CameraParams, must give back z_eye/far — the whole point of the API."""
+    import jax.numpy as jnp
+
+    for reversed_z in (True, False):
+        p = perspective_projection(0.1, 100.0, 0.6, reversed_z=reversed_z)
+        cam = camera_from_projection(p)
+        z_eye = np.linspace(0.1, 100.0, 257)
+        d_hw = hardware_depth(z_eye, p)
+        assert d_hw.min() >= -1e-12 and d_hw.max() <= 1 + 1e-12
+        linz = np.asarray(linearize_depth(jnp.asarray(d_hw, jnp.float32),
+                                          cam))
+        # standard-Z loses precision near the far plane in f32 (1 - d
+        # cancellation -- the reason reversed-Z is the default everywhere)
+        atol = 1e-6 if reversed_z else 1e-4
+        np.testing.assert_allclose(linz, z_eye / 100.0, atol=atol)
+
+
+def test_transposed_matrix_accepted():
+    p = perspective_projection(0.5, 50.0, 0.9)
+    cam = camera_from_projection(p.T)
+    assert cam.far == pytest.approx(50.0)
+
+
+def test_rejects_non_perspective():
+    with pytest.raises(ValueError, match="4x4"):
+        camera_from_projection(np.eye(3))
+    with pytest.raises(ValueError, match="P\\[0,0\\]"):
+        camera_from_projection(np.zeros((4, 4)))
+    with pytest.raises(ValueError, match="finite-far"):
+        camera_from_projection(np.eye(4))  # no translation row
+    with pytest.raises(ValueError):
+        perspective_projection(2.0, 1.0, 0.5)  # near > far
