@@ -50,7 +50,11 @@ def test_rejects_non_perspective():
         camera_from_projection(np.eye(3))
     with pytest.raises(ValueError, match="P\\[0,0\\]"):
         camera_from_projection(np.zeros((4, 4)))
+    with pytest.raises(ValueError, match="convention"):
+        camera_from_projection(np.eye(4))  # no unit w row
+    ortho = np.eye(4)
+    ortho[3, 2] = 1.0  # w row present but B == 0
     with pytest.raises(ValueError, match="finite-far"):
-        camera_from_projection(np.eye(4))  # no translation row
+        camera_from_projection(ortho)
     with pytest.raises(ValueError):
         perspective_projection(2.0, 1.0, 0.5)  # near > far

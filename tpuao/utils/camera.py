@@ -63,9 +63,18 @@ def camera_from_projection(p, depth_mode: str = "hardware") -> CameraParams:
     if p[0, 0] == 0.0:
         raise ValueError("P[0,0] == 0: not a perspective matrix")
     a = p[2, 2]
-    b = p[2, 3] if p[2, 3] != 0.0 else p[3, 2]  # accept transposed input
+    # orientation: canonically the w row is [0,0,1,0] (p[3,2]==1) and B sits
+    # at p[2,3]; a transposed matrix has p[2,3]==1 and B at p[3,2]
+    if p[3, 2] == 1.0 and p[2, 3] != 1.0:
+        b = p[2, 3]
+    elif p[2, 3] == 1.0 and p[3, 2] != 1.0:
+        b = p[3, 2]
+    else:
+        raise ValueError(
+            "unrecognized perspective convention: expected a unit w row "
+            "(P[3,2] == 1, left-handed D3D clip) or its transpose")
     if b == 0.0:
-        raise ValueError("P[2,3] == 0: not a finite-far perspective matrix")
+        raise ValueError("B == 0: not a finite-far perspective matrix")
     if b > 0:  # reversed-Z
         far = -b / a
         near = b / (1.0 - a)
