@@ -94,7 +94,9 @@ def render_views_spatial(depths, camera=None, params=None,
 
         if ext.shape[0] == 1:
             return one(ext[0])[None]
-        return lax.map(one, ext)
+        unroll = min(int(ext.shape[0]), 8)  # see sharding.py per_chip note
+        return lax.scan(lambda c, e: (c, one(e)), None, ext,
+                        unroll=unroll)[1]
 
     fn = jax.shard_map(per_chip, mesh=mesh,
                        in_specs=P(VIEW_AXIS, ROW_AXIS, None),
