@@ -148,6 +148,35 @@ def test_blur_upsample_step_matches(rng):
     np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
 
 
+def test_chain_step_banded_bit_exact(rng):
+    """The unrolled row-band chain step (tested variant, not wired --
+    see its docstring) is bit-equal to the whole-field form, including
+    uneven last bands and the hi_ao_blend variant."""
+    from tpuao.params import upsample_constants
+
+    lo_d = rng.uniform(0.2, 0.8, size=(22, 24))
+    hi_d = np.repeat(np.repeat(lo_d, 2, 0), 2, 1) \
+        + rng.normal(scale=1e-3, size=(44, 48))
+    lo1 = rng.uniform(size=(22, 24))
+    hi_blend = rng.uniform(size=(44, 48))
+    par = AOParams()
+    for blend in (None, hi_blend):
+        bl = None if blend is None else jnp.asarray(blend, jnp.float32)
+        want = np.asarray(U.blur_upsample_step(
+            jnp.asarray(lo1, jnp.float32), jnp.asarray(lo_d, jnp.float32),
+            jnp.asarray(hi_d, jnp.float32), par, 192, hi_ao_blend=bl))
+        _, k_blur, k_up, nfs = upsample_constants(par, 192, 24)
+        ap = jnp.pad(jnp.asarray(lo1, jnp.float32), [(0, 1), (0, 1)],
+                     mode="edge")
+        dp = jnp.pad(jnp.asarray(lo_d, jnp.float32), [(0, 1), (0, 1)],
+                     mode="edge")
+        for band_rows in (8, 16, 22):  # uneven last band, single band
+            got = np.asarray(U._chain_step_banded(
+                ap, dp, jnp.asarray(hi_d, jnp.float32), k_blur, k_up, nfs,
+                bl, band_rows=band_rows))
+            np.testing.assert_array_equal(got, want)
+
+
 def test_upsample_constants_traced_vs_float():
     par_j, par_g = AOParams(), GoldenAOParams()
     a = upsample_constants(par_g, 1920, 120)

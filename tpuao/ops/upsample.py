@@ -200,6 +200,9 @@ def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up):
     return interleave2x2(*planes)
 
 
+BAND_ROWS = 512
+
+
 def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
                        lo_ao2=None, hi_ao_blend=None):
     """One chain step: [pre-min] -> noise filter -> bilateral 2x [-> blend].
@@ -222,3 +225,37 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     if hi_ao_blend is not None:
         up = jnp.minimum(up, hi_ao_blend)
     return up
+
+
+def _chain_step_banded(ap, dp, hi_d, k_blur, k_up, nfs, hi_ao_blend,
+                       band_rows: int = BAND_ROWS):
+    """filter+upsample in unrolled row bands of the extended lo fields.
+
+    Identical math to the whole-field form: the noise filter gets a 1-row
+    halo per band and crops it, so band boundaries see real neighbors (the
+    edge clamp only ever applies at the true frame edge).  Bit-exact vs
+    the whole-field form (asserted in tests and the band_unroll probe).
+
+    Status: TESTED VARIANT, NOT WIRED.  Standalone at 8K l1 it wins
+    (1.66 -> 1.21 ms, benchmarks/exp/band_unroll.py) but wired into the
+    pipeline the full 8K frame got SLOWER (11.18 -> 11.84 ms) -- the same
+    standalone-win/in-pipeline-loss inversion as the banded render
+    (docs/PERF.md '8K'): banding breaks XLA's cross-stage fusion, which
+    is worth more than the band-locality win.  Third data point for the
+    rule: do not band stages inside the fused frame program.
+    """
+    lh, lw = ap.shape[-2] - 1, ap.shape[-1] - 1
+    outs = []
+    for r0 in range(0, lh, band_rows):
+        bh = min(band_rows, lh - r0)
+        t0 = max(r0 - 1, 0)
+        t1 = min(r0 + bh + 2, lh + 1)
+        f = noise_filter(ap[t0:t1], dp[t0:t1], nfs)
+        f = f[r0 - t0: r0 - t0 + bh + 1]
+        d_ext = dp[r0: r0 + bh + 1]
+        hi = hi_d[2 * r0: 2 * (r0 + bh)]
+        up = _bilateral_upsample2x_ext(f, d_ext, hi, k_blur, k_up)
+        if hi_ao_blend is not None:
+            up = jnp.minimum(up, hi_ao_blend[2 * r0: 2 * (r0 + bh)])
+        outs.append(up)
+    return jnp.concatenate(outs, axis=-2) if len(outs) > 1 else outs[0]
