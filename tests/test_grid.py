@@ -66,6 +66,26 @@ def test_grid_collectives_neighbor_only_and_view_independent():
         assert coll not in hlo, coll
 
 
+def test_grid_auto_pad_height():
+    """Misaligned H on the 2-D mesh: auto_pad pads rows and crops back."""
+    from tpuao.parallel.grid import make_grid_mesh, render_views_spatial
+
+    h, w = 1000, 128  # 1000 % (64*2) != 0 -> padded to 1024
+    z = np.stack([
+        F.spheres_on_plane(h, w, n_spheres=4, seed=s).astype(np.float32)
+        for s in (3, 4)])
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    mesh = make_grid_mesh(2, 2)
+    out = np.asarray(render_views_spatial(z, cam, par, mesh=mesh,
+                                          impl="jnp", halo_rows=320))
+    assert out.shape == (2, h, w)
+    for i in range(2):
+        plain = np.asarray(render_frame(z[i], cam, par, impl="jnp"))
+        np.testing.assert_allclose(out[i, 400:-400], plain[400:-400],
+                                   atol=1e-5)
+
+
 def test_grid_constraints():
     with pytest.raises(ValueError, match="needs"):
         make_grid_mesh(4, 4)  # 16 > 8 CPU devices
@@ -74,6 +94,11 @@ def test_grid_constraints():
                              CAM, PAR, mesh=make_grid_mesh(2, 4),
                              halo_rows=HALO)
     with pytest.raises(AssertionError, match="multiple"):
+        render_views_spatial(np.ones((2, 100, 128), np.float32),
+                             CAM, PAR, mesh=make_grid_mesh(2, 4),
+                             halo_rows=HALO, auto_pad=False)
+    with pytest.raises(AssertionError, match="band height"):
+        # auto_pad fixes alignment (100 -> 256) but bands stay too short
         render_views_spatial(np.ones((2, 100, 128), np.float32),
                              CAM, PAR, mesh=make_grid_mesh(2, 4),
                              halo_rows=HALO)

@@ -71,7 +71,25 @@ def test_spatial_collectives_are_neighbor_only(depth):
 def test_spatial_requires_aligned_height():
     with pytest.raises(AssertionError):
         render_frame_spatial(np.ones((100, 128), np.float32),
-                             mesh=make_row_mesh(4))
+                             mesh=make_row_mesh(4), auto_pad=False)
+
+
+def test_spatial_auto_pad_8k_height():
+    """Real 8K height (4320 -> padded 4352) is not divisible by 64*8;
+    auto_pad pads to 4608 and crops back.  Narrow width keeps the CPU
+    cost sane; the row-sharding constraint is height-only."""
+    h, w = 4320, 128
+    z = F.spheres_on_plane(h, w, n_spheres=5, seed=9).astype(np.float32)
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    out = np.asarray(render_frame_spatial(z, cam, par,
+                                          mesh=make_row_mesh(8),
+                                          impl="jnp"))
+    assert out.shape == (h, w)
+    plain = np.asarray(render_frame(z, cam, par, impl="jnp"))
+    # interior agreement (edge conventions differ within stencil reach)
+    np.testing.assert_allclose(out[400:-400], plain[400:-400], atol=1e-5)
+    assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
 
 
 def test_spatial_realistic_aspect():

@@ -43,12 +43,14 @@ def make_grid_mesh(n_views: int, n_bands: int, devices=None) -> Mesh:
 
 def render_views_spatial(depths, camera=None, params=None,
                          mesh: Mesh | None = None, impl: str = "jnp",
-                         halo_rows: int = HALO_ROWS):
+                         halo_rows: int = HALO_ROWS, auto_pad: bool = True):
     """(V, H, W) depth batch -> (V, H, W) AO on a 2-D views x rows mesh.
 
     Constraints (same as the 1-D modes they compose): V divisible by the
-    view-mesh size; H divisible by 64 * row-mesh size; bands at least one
-    halo tall.  Edge semantics match ``render_frame_spatial``: the frame is
+    view-mesh size; H divisible by 64 * row-mesh size (``auto_pad``
+    edge-pads misaligned heights and crops back, as in
+    ``render_frame_spatial``); bands at least one halo tall.  Edge
+    semantics match ``render_frame_spatial``: the frame is
     edge-replicated by ``halo_rows`` at top/bottom, so per view the result
     is bit-equal to the single-device pipeline on the halo-padded frame,
     cropped.
@@ -61,6 +63,16 @@ def render_views_spatial(depths, camera=None, params=None,
     nr = mesh.shape[ROW_AXIS]
     v, h, w = depths.shape
     halo = halo_rows
+    if auto_pad and h % (64 * nr):
+        ha = -(-h // (64 * nr)) * (64 * nr)
+        depths = jnp.concatenate(
+            [jnp.asarray(depths, jnp.float32),
+             jnp.tile(jnp.asarray(depths, jnp.float32)[:, -1:, :],
+                      (1, ha - h, 1))], axis=1)
+        out = render_views_spatial(depths, camera, params, mesh=mesh,
+                                   impl=impl, halo_rows=halo_rows,
+                                   auto_pad=False)
+        return out[:, :h]
     assert v % nv == 0, f"views {v} not divisible by view mesh {nv}"
     assert halo % 64 == 0, halo
     assert h % (64 * nr) == 0, (

@@ -49,19 +49,35 @@ def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def render_frame_spatial(depth, camera=None, params=None,
                          mesh: Mesh | None = None, impl: str = "jnp",
-                         halo_rows: int = HALO_ROWS):
+                         halo_rows: int = HALO_ROWS, auto_pad: bool = True):
     """Render one (H, W) frame sharded into row bands across ``mesh``.
 
-    Requires H to be divisible by 64 * mesh size (pad/crop upstream
-    otherwise).  Returns the full-res AO with the same row sharding.
-    ``halo_rows`` below HALO_ROWS trades band-boundary exactness for
-    smaller exchanges (compile-validation dryruns use 64).
+    H must be divisible by 64 * mesh size; with ``auto_pad`` (default) a
+    misaligned frame is edge-padded at the bottom to the next aligned
+    height and the result cropped back -- e.g. real 8K (4320 rows, padded
+    4352) is not 8-way alignable and becomes 4608 here.  Padding rows
+    replicate the last row, matching the module's edge-replication
+    convention; aligned frames pass through untouched.  Returns the
+    full-res AO with the same row sharding (cropped on the host when
+    auto-padding was applied).  ``halo_rows`` below HALO_ROWS trades
+    band-boundary exactness for smaller exchanges (compile-validation
+    dryruns use 64).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
     mesh = mesh or make_row_mesh()
     n = mesh.devices.size
     h, w = depth.shape
+    if auto_pad and h % (64 * n):
+        ha = -(-h // (64 * n)) * (64 * n)
+        depth = jnp.concatenate(
+            [jnp.asarray(depth, jnp.float32),
+             jnp.tile(jnp.asarray(depth, jnp.float32)[-1:, :],
+                      (ha - h, 1))], axis=0)
+        out = render_frame_spatial(depth, camera, params, mesh=mesh,
+                                   impl=impl, halo_rows=halo_rows,
+                                   auto_pad=False)
+        return out[:h]
     assert halo_rows % 64 == 0, halo_rows
     assert h % (64 * n) == 0, (
         f"H={h} must be a multiple of 64*mesh ({64 * n}); pad the frame")
