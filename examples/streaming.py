@@ -32,6 +32,8 @@ from tpuao.utils.io import save_ao_image
 def main(argv):
     size = argv[1] if len(argv) > 1 else "360x640"
     n_frames = int(argv[2]) if len(argv) > 2 else 8
+    if n_frames < 1:
+        raise SystemExit("n_frames must be >= 1")
     out_dir = argv[3] if len(argv) > 3 else "/tmp/tpuao_stream"
     h, w = (int(v) for v in size.split("x"))
     batch = 2

@@ -45,6 +45,28 @@ def test_transposed_matrix_accepted():
     assert cam.far == pytest.approx(50.0)
 
 
+def test_b_equals_one_not_ambiguous():
+    """near*far == far-near makes B == 1.0, so BOTH P[2,3] and P[3,2] are
+    1.0 — the two orientation readings agree and extraction must succeed
+    (regression: this used to raise 'unrecognized convention')."""
+    p = perspective_projection(0.5, 1.0, 0.7)  # B = 0.5*1.0/0.5 = 1.0
+    assert p[2, 3] == 1.0 and p[3, 2] == 1.0
+    cam = camera_from_projection(p)
+    assert cam.near == pytest.approx(0.5)
+    assert cam.far == pytest.approx(1.0)
+    z = np.linspace(0.5, 1.0, 7)
+    np.testing.assert_allclose(hardware_depth(z, p),
+                               hardware_depth(z, p.T))
+
+
+def test_hardware_depth_transposed_matrix():
+    """hardware_depth must read B from the right slot for transposed
+    matrices (regression: it used to return A + 1/z)."""
+    p = perspective_projection(0.3, 250.0, 0.7)
+    z = np.linspace(0.3, 250.0, 11)
+    np.testing.assert_allclose(hardware_depth(z, p.T), hardware_depth(z, p))
+
+
 def test_rejects_non_perspective():
     with pytest.raises(ValueError, match="4x4"):
         camera_from_projection(np.eye(3))

@@ -94,6 +94,32 @@ def test_prefetcher_yields_all_batches_in_order(tmp_path):
         np.testing.assert_array_equal(got[b], FIO.load_pfm_batch(paths))
 
 
+def test_prefetcher_stopiteration_is_sticky(tmp_path):
+    """next() past exhaustion must keep raising StopIteration, not block
+    (regression: it used to deadlock on the empty queue)."""
+    paths = [FIO.save_pfm(str(tmp_path / "s.pfm"), _frame())]
+    it = FIO.FramePrefetcher([paths])
+    assert len(list(it)) == 1
+    with pytest.raises(StopIteration):
+        next(it)
+    with pytest.raises(StopIteration):
+        next(it)
+
+
+def test_prefetcher_close_releases_worker(tmp_path):
+    """Abandoning iteration early + close() must stop the worker thread
+    (regression: it used to stay blocked on the bounded queue forever)."""
+    batches = []
+    for b in range(6):
+        batches.append([FIO.save_pfm(str(tmp_path / f"c{b}.pfm"),
+                                     _frame(seed=b))])
+    with FIO.FramePrefetcher(batches, depth=1) as it:
+        next(it)  # consume one, abandon the rest
+    assert not it._worker.is_alive()
+    with pytest.raises(StopIteration):
+        next(it)
+
+
 def test_prefetcher_propagates_errors(tmp_path):
     good = [FIO.save_pfm(str(tmp_path / "g.pfm"), _frame())]
     it = FIO.FramePrefetcher([good, ["/nonexistent.pfm"]])

@@ -26,7 +26,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tpuao.models.pipeline import ao_pipeline
 from tpuao.params import AOParams, CameraParams
 from tpuao.parallel.sharding import VIEW_AXIS
-from tpuao.parallel.spatial import HALO_ROWS, ROW_AXIS
+from tpuao.parallel.spatial import (
+    HALO_ROWS,
+    ROW_AXIS,
+    edge_pad_rows,
+    halo_extend_rows,
+)
 
 
 def make_grid_mesh(n_views: int, n_bands: int, devices=None) -> Mesh:
@@ -65,13 +70,9 @@ def render_views_spatial(depths, camera=None, params=None,
     halo = halo_rows
     if auto_pad and h % (64 * nr):
         ha = -(-h // (64 * nr)) * (64 * nr)
-        depths = jnp.concatenate(
-            [jnp.asarray(depths, jnp.float32),
-             jnp.tile(jnp.asarray(depths, jnp.float32)[:, -1:, :],
-                      (1, ha - h, 1))], axis=1)
-        out = render_views_spatial(depths, camera, params, mesh=mesh,
-                                   impl=impl, halo_rows=halo_rows,
-                                   auto_pad=False)
+        out = render_views_spatial(edge_pad_rows(depths, ha, 1), camera,
+                                   params, mesh=mesh, impl=impl,
+                                   halo_rows=halo_rows, auto_pad=False)
         return out[:, :h]
     assert v % nv == 0, f"views {v} not divisible by view mesh {nv}"
     assert halo % 64 == 0, halo
@@ -84,20 +85,9 @@ def render_views_spatial(depths, camera=None, params=None,
     depths = jax.device_put(jnp.asarray(depths, jnp.float32), spec)
 
     def per_chip(d):  # (v/nv, h/nr, W)
-        idx = lax.axis_index(ROW_AXIS)
         # one block-wide halo exchange with the row neighbors (per local
         # view block, not per view: collectives don't scale with views)
-        from_above = lax.ppermute(
-            d[:, -halo:, :], ROW_AXIS,
-            perm=[(i, i + 1) for i in range(nr - 1)])
-        from_below = lax.ppermute(
-            d[:, :halo, :], ROW_AXIS,
-            perm=[(i + 1, i) for i in range(nr - 1)])
-        top_edge = jnp.tile(d[:, :1, :], (1, halo, 1))
-        bot_edge = jnp.tile(d[:, -1:, :], (1, halo, 1))
-        top = jnp.where(idx == 0, top_edge, from_above)
-        bot = jnp.where(idx == nr - 1, bot_edge, from_below)
-        ext = jnp.concatenate([top, d, bot], axis=1)
+        ext = halo_extend_rows(d, halo, nr, axis=1)
 
         def one(e):  # unbatched frame program per local view (see
             # sharding.py: measured faster than vmap batching on TPU)

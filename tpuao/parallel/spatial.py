@@ -47,6 +47,52 @@ def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (ROW_AXIS,))
 
 
+def edge_pad_rows(x, target_h: int, axis: int):
+    """Edge-pad ``x`` along ``axis`` to ``target_h`` rows by replicating
+    the last row (the auto_pad rule shared by the 1-D and 2-D modes)."""
+    x = jnp.asarray(x, jnp.float32)
+    h = x.shape[axis]
+    if h == target_h:
+        return x
+    take = [slice(None)] * x.ndim
+    take[axis] = slice(-1, None)
+    reps = [1] * x.ndim
+    reps[axis] = target_h - h
+    return jnp.concatenate([x, jnp.tile(x[tuple(take)], reps)], axis=axis)
+
+
+def halo_extend_rows(d, halo: int, n: int, axis: int):
+    """Extend a row-sharded local block with its neighbors' halo rows.
+
+    Runs inside ``shard_map`` over a mesh with a ``ROW_AXIS`` dimension of
+    size ``n``: each chip ppermutes its boundary rows to its neighbors
+    (the only collectives in the frame program, ICI-neighbor traffic
+    only); chips 0 / n-1 synthesize the outer halo by replicating their
+    boundary row.  ``axis`` is the row axis of the local block — works
+    for (rows, W) frames and (views, rows, W) view blocks alike, and the
+    exchange moves the whole block at once (collectives don't scale with
+    views).  Shared by the 1-D spatial and 2-D grid modes.
+    """
+    idx = lax.axis_index(ROW_AXIS)
+
+    def take(s):
+        t = [slice(None)] * d.ndim
+        t[axis] = s
+        return d[tuple(t)]
+
+    from_above = lax.ppermute(take(slice(-halo, None)), ROW_AXIS,
+                              perm=[(i, i + 1) for i in range(n - 1)])
+    from_below = lax.ppermute(take(slice(0, halo)), ROW_AXIS,
+                              perm=[(i + 1, i) for i in range(n - 1)])
+    reps = [1] * d.ndim
+    reps[axis] = halo
+    top_edge = jnp.tile(take(slice(0, 1)), reps)
+    bot_edge = jnp.tile(take(slice(-1, None)), reps)
+    top = jnp.where(idx == 0, top_edge, from_above)
+    bot = jnp.where(idx == n - 1, bot_edge, from_below)
+    return jnp.concatenate([top, d, bot], axis=axis)
+
+
 def render_frame_spatial(depth, camera=None, params=None,
                          mesh: Mesh | None = None, impl: str = "jnp",
                          halo_rows: int = HALO_ROWS, auto_pad: bool = True):
@@ -70,13 +116,9 @@ def render_frame_spatial(depth, camera=None, params=None,
     h, w = depth.shape
     if auto_pad and h % (64 * n):
         ha = -(-h // (64 * n)) * (64 * n)
-        depth = jnp.concatenate(
-            [jnp.asarray(depth, jnp.float32),
-             jnp.tile(jnp.asarray(depth, jnp.float32)[-1:, :],
-                      (ha - h, 1))], axis=0)
-        out = render_frame_spatial(depth, camera, params, mesh=mesh,
-                                   impl=impl, halo_rows=halo_rows,
-                                   auto_pad=False)
+        out = render_frame_spatial(edge_pad_rows(depth, ha, 0), camera,
+                                   params, mesh=mesh, impl=impl,
+                                   halo_rows=halo_rows, auto_pad=False)
         return out[:h]
     assert halo_rows % 64 == 0, halo_rows
     assert h % (64 * n) == 0, (
@@ -89,22 +131,8 @@ def render_frame_spatial(depth, camera=None, params=None,
     depth = jax.device_put(jnp.asarray(depth, jnp.float32), spec)
     halo = halo_rows
 
-    def per_chip(d_local):
-        d_local = d_local  # (h/n, W)
-        idx = lax.axis_index(ROW_AXIS)
-        # halo from the chip above (its bottom rows) and below (its top rows)
-        from_above = lax.ppermute(
-            d_local[-halo:, :], ROW_AXIS,
-            perm=[(i, i + 1) for i in range(n - 1)])
-        from_below = lax.ppermute(
-            d_local[:halo, :], ROW_AXIS,
-            perm=[(i + 1, i) for i in range(n - 1)])
-        # frame edges: replicate the boundary row (see module docstring)
-        top_edge = jnp.tile(d_local[:1, :], (halo, 1))
-        bot_edge = jnp.tile(d_local[-1:, :], (halo, 1))
-        top = jnp.where(idx == 0, top_edge, from_above)
-        bot = jnp.where(idx == n - 1, bot_edge, from_below)
-        ext = jnp.concatenate([top, d_local, bot], axis=0)
+    def per_chip(d_local):  # (h/n, W)
+        ext = halo_extend_rows(d_local, halo, n, axis=0)
         ao_ext = ao_pipeline(ext, camera, params, None, impl=impl)[0]
         return ao_ext[halo: halo + d_local.shape[0], :]
 

@@ -49,6 +49,26 @@ def perspective_projection(near: float, far: float, tan_half_fov_h: float,
     return p
 
 
+def _extract_b(p) -> float:
+    """B from a canonical or transposed matrix of the documented convention.
+
+    Canonically the w row is [0,0,1,0] (``p[3,2]==1``) and B sits at
+    ``p[2,3]``; a transposed matrix has ``p[2,3]==1`` and B at ``p[3,2]``.
+    When BOTH entries are 1.0 the two readings agree (B == 1.0, e.g. any
+    reversed-Z matrix with ``n*f == f-n``), so that case is valid, not
+    ambiguous.
+    """
+    if p[3, 2] == 1.0 and p[2, 3] == 1.0:
+        return 1.0
+    if p[3, 2] == 1.0:
+        return p[2, 3]
+    if p[2, 3] == 1.0:
+        return p[3, 2]
+    raise ValueError(
+        "unrecognized perspective convention: expected a unit w row "
+        "(P[3,2] == 1, left-handed D3D clip) or its transpose")
+
+
 def camera_from_projection(p, depth_mode: str = "hardware") -> CameraParams:
     """Extract CameraParams (near, far, tan_half_fov_h, reversed_z) from a
     perspective matrix of the documented convention.
@@ -63,16 +83,7 @@ def camera_from_projection(p, depth_mode: str = "hardware") -> CameraParams:
     if p[0, 0] == 0.0:
         raise ValueError("P[0,0] == 0: not a perspective matrix")
     a = p[2, 2]
-    # orientation: canonically the w row is [0,0,1,0] (p[3,2]==1) and B sits
-    # at p[2,3]; a transposed matrix has p[2,3]==1 and B at p[3,2]
-    if p[3, 2] == 1.0 and p[2, 3] != 1.0:
-        b = p[2, 3]
-    elif p[2, 3] == 1.0 and p[3, 2] != 1.0:
-        b = p[3, 2]
-    else:
-        raise ValueError(
-            "unrecognized perspective convention: expected a unit w row "
-            "(P[3,2] == 1, left-handed D3D clip) or its transpose")
+    b = _extract_b(p)
     if b == 0.0:
         raise ValueError("B == 0: not a finite-far perspective matrix")
     if b > 0:  # reversed-Z
@@ -95,5 +106,4 @@ def hardware_depth(z_eye, p) -> np.ndarray:
     (the test oracle: ``A + B/z``)."""
     p = np.asarray(p, dtype=np.float64)
     z = np.asarray(z_eye, dtype=np.float64)
-    b = p[2, 3] if p[2, 3] != 0.0 else p[3, 2]
-    return p[2, 2] + b / z
+    return p[2, 2] + _extract_b(p) / z

@@ -189,6 +189,10 @@ class FramePrefetcher:
     data-loader side of a frames-in-flight pipeline (the device side is
     ``parallel/``'s batched programs).  ``depth=2`` keeps up to two decoded
     batches buffered.
+
+    Also a context manager: ``close()`` (or leaving the ``with`` block)
+    stops the worker and drops buffered batches, so abandoning iteration
+    early does not pin decoded frames in memory for the process lifetime.
     """
 
     def __init__(self, batches: Iterable[Sequence[str]], depth: int = 2,
@@ -196,25 +200,61 @@ class FramePrefetcher:
         self._batches = iter(batches)
         self._threads = threads
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._done = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def _put(self, item) -> bool:
+        """Bounded put that gives up when close() is called."""
+        while not self._stop.is_set():
+            try:
+                self._q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def _run(self):
         try:
             for paths in self._batches:
-                self._q.put(("ok", load_pfm_batch(paths, self._threads)))
+                if self._stop.is_set():
+                    return
+                if not self._put(("ok", load_pfm_batch(paths,
+                                                       self._threads))):
+                    return
         except Exception as e:  # surfaced on the consumer side
-            self._q.put(("err", e))
+            self._put(("err", e))
             return
-        self._q.put(("end", None))
+        self._put(("end", None))
 
     def __iter__(self):
         return self
 
     def __next__(self) -> np.ndarray:
+        if self._done:
+            raise StopIteration
         kind, val = self._q.get()
         if kind == "ok":
             return val
+        self._done = True
         if kind == "err":
             raise val
         raise StopIteration
+
+    def close(self):
+        """Stop the worker and release buffered batches (idempotent)."""
+        self._done = True
+        self._stop.set()
+        while True:  # unblock a worker stuck on a full queue
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
+        self._worker.join(timeout=5.0)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
