@@ -120,6 +120,36 @@ def test_prefetcher_close_releases_worker(tmp_path):
         next(it)
 
 
+def test_prefetcher_close_wakes_blocked_consumer(tmp_path):
+    """close() from another thread must wake a consumer blocked in
+    __next__ (regression: 'end' was dropped once _stop was set, leaving
+    the consumer in an untimed get() forever)."""
+    import threading
+    import time
+
+    path = FIO.save_pfm(str(tmp_path / "w.pfm"), _frame())
+
+    def slow_batches():
+        time.sleep(2.0)  # worker busy; consumer blocks on the empty queue
+        yield [path]
+
+    it = FIO.FramePrefetcher(slow_batches(), depth=1)
+    stopped = threading.Event()
+
+    def consume():
+        try:
+            next(it)
+        except StopIteration:
+            stopped.set()
+
+    t = threading.Thread(target=consume, daemon=True)
+    t.start()
+    time.sleep(0.2)
+    it.close()
+    t.join(timeout=10)
+    assert not t.is_alive() and stopped.is_set()
+
+
 def test_prefetcher_propagates_errors(tmp_path):
     good = [FIO.save_pfm(str(tmp_path / "g.pfm"), _frame())]
     it = FIO.FramePrefetcher([good, ["/nonexistent.pfm"]])

@@ -82,9 +82,13 @@ def test_spatial_auto_pad_8k_height():
     z = F.spheres_on_plane(h, w, n_spheres=5, seed=9).astype(np.float32)
     cam = CameraParams(depth_mode="linear")
     par = AOParams()
-    out = np.asarray(render_frame_spatial(z, cam, par,
-                                          mesh=make_row_mesh(8),
-                                          impl="jnp"))
+    out_dev = render_frame_spatial(z, cam, par, mesh=make_row_mesh(8),
+                                   impl="jnp")
+    # the crop must NOT collapse the row sharding to replicated (a plain
+    # out[:h] outside jit gathers the full frame onto every device)
+    from jax.sharding import PartitionSpec as P
+    assert out_dev.sharding.spec == P("rows", None), out_dev.sharding
+    out = np.asarray(out_dev)
     assert out.shape == (h, w)
     plain = np.asarray(render_frame(z, cam, par, impl="jnp"))
     # interior agreement (edge conventions differ within stencil reach)

@@ -29,8 +29,9 @@ from tpuao.parallel.sharding import VIEW_AXIS
 from tpuao.parallel.spatial import (
     HALO_ROWS,
     ROW_AXIS,
-    edge_pad_rows,
+    crop_rows_sharded,
     halo_extend_rows,
+    pad_rows_aligned,
 )
 
 
@@ -69,11 +70,11 @@ def render_views_spatial(depths, camera=None, params=None,
     v, h, w = depths.shape
     halo = halo_rows
     if auto_pad and h % (64 * nr):
-        ha = -(-h // (64 * nr)) * (64 * nr)
-        out = render_views_spatial(edge_pad_rows(depths, ha, 1), camera,
+        out = render_views_spatial(pad_rows_aligned(depths, nr, 1), camera,
                                    params, mesh=mesh, impl=impl,
                                    halo_rows=halo_rows, auto_pad=False)
-        return out[:, :h]
+        return crop_rows_sharded(out, h, mesh,
+                                 P(VIEW_AXIS, ROW_AXIS, None), axis=1)
     assert v % nv == 0, f"views {v} not divisible by view mesh {nv}"
     assert halo % 64 == 0, halo
     assert h % (64 * nr) == 0, (

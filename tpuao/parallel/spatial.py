@@ -61,6 +61,33 @@ def edge_pad_rows(x, target_h: int, axis: int):
     return jnp.concatenate([x, jnp.tile(x[tuple(take)], reps)], axis=axis)
 
 
+def pad_rows_aligned(x, n_bands: int, axis: int):
+    """Edge-pad rows to the next multiple of ``64 * n_bands`` (the row-
+    sharding alignment rule, defined once for the 1-D and 2-D modes)."""
+    mult = 64 * n_bands
+    ha = -(-x.shape[axis] // mult) * mult
+    return edge_pad_rows(x, ha, axis)
+
+
+def crop_rows_sharded(out, h: int, mesh: Mesh, spec, axis: int = 0):
+    """Crop a row-sharded result back to ``h`` rows WITHOUT collapsing its
+    sharding: a plain ``out[:h]`` outside jit gathers the array replicated
+    onto every device (measured: PartitionSpec() on the result), defeating
+    the point of sharding a frame too large for one chip.  Cropping under
+    jit with an explicit sharding constraint keeps the row layout (the
+    last band is simply shorter)."""
+    if out.shape[axis] == h:
+        return out
+    sharding = NamedSharding(mesh, spec)
+    idx = tuple([slice(None)] * axis + [slice(0, h)])
+
+    @jax.jit
+    def crop(o):
+        return jax.lax.with_sharding_constraint(o[idx], sharding)
+
+    return crop(out)
+
+
 def halo_extend_rows(d, halo: int, n: int, axis: int):
     """Extend a row-sharded local block with its neighbors' halo rows.
 
@@ -104,8 +131,9 @@ def render_frame_spatial(depth, camera=None, params=None,
     4352) is not 8-way alignable and becomes 4608 here.  Padding rows
     replicate the last row, matching the module's edge-replication
     convention; aligned frames pass through untouched.  Returns the
-    full-res AO with the same row sharding (cropped on the host when
-    auto-padding was applied).  ``halo_rows`` below HALO_ROWS trades
+    full-res AO with the same row sharding (the crop keeps the row
+    layout via a sharding constraint; the last band is simply shorter).
+    ``halo_rows`` below HALO_ROWS trades
     band-boundary exactness for smaller exchanges (compile-validation
     dryruns use 64).
     """
@@ -115,11 +143,10 @@ def render_frame_spatial(depth, camera=None, params=None,
     n = mesh.devices.size
     h, w = depth.shape
     if auto_pad and h % (64 * n):
-        ha = -(-h // (64 * n)) * (64 * n)
-        out = render_frame_spatial(edge_pad_rows(depth, ha, 0), camera,
+        out = render_frame_spatial(pad_rows_aligned(depth, n, 0), camera,
                                    params, mesh=mesh, impl=impl,
                                    halo_rows=halo_rows, auto_pad=False)
-        return out[:h]
+        return crop_rows_sharded(out, h, mesh, P(ROW_AXIS, None), axis=0)
     assert halo_rows % 64 == 0, halo_rows
     assert h % (64 * n) == 0, (
         f"H={h} must be a multiple of 64*mesh ({64 * n}); pad the frame")

@@ -246,12 +246,23 @@ class FramePrefetcher:
         """Stop the worker and release buffered batches (idempotent)."""
         self._done = True
         self._stop.set()
-        while True:  # unblock a worker stuck on a full queue
-            try:
-                self._q.get_nowait()
-            except queue.Empty:
-                break
+
+        def drain():
+            while True:
+                try:
+                    self._q.get_nowait()
+                except queue.Empty:
+                    return
+
+        drain()  # unblock a worker stuck on a full queue
         self._worker.join(timeout=5.0)
+        # the worker's in-flight put may have landed into the slot the
+        # drain freed -- drain again so no decoded batch stays pinned
+        drain()
+        try:  # wake any consumer blocked in __next__'s untimed get()
+            self._q.put_nowait(("end", None))
+        except queue.Full:
+            pass
 
     def __enter__(self):
         return self
