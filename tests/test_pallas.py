@@ -190,3 +190,41 @@ def test_batched_frames_all_impls():
         got = np.asarray(render_frame(zs, cam, AOParams(), impl=impl))
         assert got.shape == (2, 64, 128)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fully_occluded_pixel_small_strength():
+    """A vis==0 pixel with strength=0.1 must return exactly 0 from the
+    Pallas kernels, matching jnp.power (regression: the 1e-30 log floor
+    alone returned 1e-30**0.1 ~= 1.0000002e-3, over the [BJ] budget)."""
+    h, w = 32, 64
+    z = np.full((h, w), 0.2, np.float32)
+    z[h // 2, w // 2] = 0.95  # deep pixel in a shallow field: all taps in
+    # front by a huge margin -> every pair test clamps to 0 -> vis == 0
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams(strength=0.1)
+    want = np.asarray(R.render_ao_level(jnp.asarray(z), 1, 2 * w, cam, par))
+    got = np.asarray(PK.render_ao_level(jnp.asarray(z), 1, 2 * w, cam, par))
+    assert want[h // 2, w // 2] == 0.0
+    assert got[h // 2, w // 2] == 0.0
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_normals_layout_handling():
+    """Channel-first and channel-last normals give identical results on
+    every impl; ambiguous layouts raise instead of silently misreading."""
+    from tpuao.models.pipeline import render_frame
+
+    z, n = F.spheres_on_plane(64, 128, n_spheres=2, seed=4,
+                              with_normals=True)
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams(use_normals=True)
+    n_cl = np.asarray(n, np.float32)           # (H, W, 3)
+    n_cf = np.moveaxis(n_cl, -1, 0).copy()     # (3, H, W)
+    for impl in ("jnp", "pallas"):
+        a = np.asarray(render_frame(z, cam, par, normals=n_cl, impl=impl))
+        b = np.asarray(render_frame(z, cam, par, normals=n_cf, impl=impl))
+        np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="ambiguous"):
+        R.normals_channel_last(np.zeros((3, 5, 3), np.float32))
+    with pytest.raises(ValueError, match="channel"):
+        R.normals_channel_last(np.zeros((4, 5, 2), np.float32))

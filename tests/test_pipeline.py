@@ -134,6 +134,65 @@ def test_engine_api():
     np.testing.assert_allclose(dbg[..., 1], ao2, atol=1e-6)
 
 
+def test_composite_integer_color():
+    """Integer color frames must be AO-modulated, not blacked out by
+    casting AO in [0,1) to the integer dtype before the multiply."""
+    from tpuao.ops.composite import composite
+
+    z = _scene(64, 64)
+    ao = np.asarray(render_frame(z, CameraParams(depth_mode="linear"),
+                                 AOParams(), impl="jnp"))
+    color = np.full((64, 64, 3), 200, np.uint8)
+    lit = np.asarray(composite(jnp.asarray(color), jnp.asarray(ao)))
+    assert lit.dtype == np.uint8
+    np.testing.assert_allclose(
+        lit[..., 0].astype(np.float64),
+        np.round(200.0 * ao), atol=1.0)
+    assert lit[..., 0].mean() > 100  # not blacked out
+
+
+def test_engine_debug_grayscale_and_out_dtype():
+    """Debug mode must not read a 2-D grayscale frame's width as a channel
+    count, and must honor out_dtype and debug_outputs."""
+    z = _scene(64, 64)
+    eng = AmbientOcclusionEngine(CameraParams(depth_mode="linear"),
+                                 impl="jnp", debug=True, out_dtype="uint8")
+    gray = np.ones((64, 64), np.float32)
+    view = np.asarray(eng.render(z, color=gray))
+    assert view.shape == (64, 64, 1) and view.dtype == np.uint8
+    color = np.ones((64, 64, 3), np.float32)
+    view3, dbg = eng.render(z, color=color, debug_outputs=True)
+    assert np.asarray(view3).shape == (64, 64, 3)
+    assert set(dbg["ao_levels"]) == {1, 2, 3, 4}
+
+
+def test_single_scale_odd_input_ceil_crop():
+    """Odd inputs keep their last real half-res scanline (ceil, matching
+    pick-one downsampling), not floor."""
+    z = _scene(65, 97)
+    ao = np.asarray(single_scale_ao(z, CameraParams(depth_mode="linear")))
+    assert ao.shape == (33, 49)
+
+
+def test_k_blur_zero_tolerance_no_nan():
+    """blur_tolerance = log10(1/step_size) makes the un-floored k_blur
+    exactly 0; the corner-aligned taps then hit 0/0 (regression: whole
+    frame NaN).  Valid in-range setting -> finite frame."""
+    z = _scene(64, 96)
+    bt = float(np.log10(1.0 / 16.0))  # step_size 16 at the coarsest level
+    par = AOParams(blur_tolerance=bt).validate()
+    ao = np.asarray(render_frame(z, CameraParams(depth_mode="linear"), par,
+                                 impl="jnp"))
+    assert np.isfinite(ao).all()
+    assert 0.0 <= ao.min() and ao.max() <= 1.0
+
+
+def test_validate_rejects_numpy_scalars():
+    with pytest.raises(ValueError):
+        AOParams(strength=np.float32(50.0)).validate()
+    AOParams(strength=np.float32(2.0)).validate()  # in-range passes
+
+
 def test_debug_outputs():
     z = _scene(64, 64)
     ao, dbg = render_frame(z, CameraParams(depth_mode="linear"), AOParams(),

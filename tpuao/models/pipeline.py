@@ -103,10 +103,12 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
             spyr = [None] * (d + 1)
         if use_n and impl == "pallas":
             # the Pallas kernel takes raw per-level normals (opt-in path;
-            # it computes slopes in-kernel from SMEM scalars)
+            # it computes slopes in-kernel from SMEM scalars); accept
+            # either layout like the jnp path does
+            ncl = R.normals_channel_last(normals.astype(jnp.float32))
             npad = jnp.moveaxis(jnp.pad(
-                normals.astype(jnp.float32),
-                [(0, 0)] * (normals.ndim - 3)
+                ncl,
+                [(0, 0)] * (ncl.ndim - 3)
                 + [(0, hp - h0), (0, wp - w0), (0, 0)], mode="edge"),
                 -1, -3)
             npyr = [npad]
@@ -246,7 +248,9 @@ def _single_scale_impl(depth, camera, params, impl: str):
     linz = P.linearize_depth(dpad, camera)
     ds2 = P.downsample2x(linz)
     ao = _select_render_impl(impl)(ds2, 1, wp, camera, params, None)
-    return ao[..., : h0 // 2, : w0 // 2]
+    # ceil halves: pick-one keeps rows 0,2,... so odd inputs have
+    # ceil(h/2) real half-res scanlines (floor would drop the last one)
+    return ao[..., : -(-h0 // 2), : -(-w0 // 2)]
 
 
 # NOTE: no compiler_options here -- jax forbids them on nested jits and
@@ -328,9 +332,14 @@ class AmbientOcclusionEngine:
     # --- per-frame entry (command-buffer replay analog) ---
     def render(self, depth, normals=None, color=None, debug_outputs=False):
         if self.debug and color is not None:
-            ao = render_frame(depth, self.camera, self._params, normals,
-                              None, False, self.impl)
-            return C.debug_view(ao, color.shape[-1])
+            out = render_frame(depth, self.camera, self._params, normals,
+                               None, debug_outputs, self.impl)
+            ao, dbg = out if debug_outputs else (out, None)
+            # channel count from the color frame only when it HAS a
+            # channel axis (a 2-D grayscale frame's shape[-1] is W!)
+            ch = color.shape[-1] if color.ndim == ao.ndim + 1 else 1
+            view = _quantize(C.debug_view(ao, ch), self.out_dtype)
+            return (view, dbg) if debug_outputs else view
         return render_frame(depth, self.camera, self._params, normals,
                             color, debug_outputs, self.impl,
                             out_dtype=self.out_dtype)

@@ -13,11 +13,20 @@ import jax.numpy as jnp
 
 
 def composite(color, ao):
-    """Multiply single-channel AO into an (H, W[, C]) color frame."""
-    ao = ao.astype(color.dtype) if hasattr(color, "dtype") else ao
+    """Multiply single-channel AO into an (H, W[, C]) color frame.
+
+    The multiply runs in f32 and the result is cast back to the color
+    dtype (rounded for integer frames) — casting AO in [0, 1) to an
+    integer dtype first would truncate it to 0 and black the frame; the
+    golden spec multiplies in float.
+    """
     if color.ndim == ao.ndim + 1:
         ao = ao[..., None]
-    return color * ao
+    out = color.astype(jnp.float32) * ao.astype(jnp.float32)
+    dt = jnp.dtype(color.dtype)
+    if jnp.issubdtype(dt, jnp.integer):
+        return jnp.round(out).astype(dt)
+    return out.astype(dt)
 
 
 def debug_view(ao, channels: int = 3):

@@ -102,8 +102,11 @@ def _render_kernel(pairs, R, w, use_normals, scal_ref, z_ref, *rest):
         vis = vis + (0.5 * w_pair) * pair_vis
 
     vis = jnp.clip(vis, 0.0, 1.0)
-    # vis ** strength with traced exponent; vis==0 -> exp(-inf)=0 (strength>0)
-    o_ref[0] = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
+    # vis ** strength with traced exponent; the 1e-30 log floor alone would
+    # give 1e-30**s (> 1e-3 at s=0.1, over the [BJ] budget) at vis==0, so
+    # select exact 0 there like jnp.power does
+    o_ref[0] = jnp.where(
+        vis > 0.0, jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30))), 0.0)
 
 
 def _upsample_kernel(R, lw, premin, scal_ref, *refs):
@@ -276,7 +279,10 @@ def _fused_l1_body(pairs, R, lw, lh, H2, scal_ref, z, lo_d, c1w, hid_ref,
             jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2)
             + jnp.maximum(jnp.clip(d2, 0.0, 1.0), p1))
     vis = jnp.clip(vis, 0.0, 1.0)
-    ao = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
+    # exact 0 at vis==0 (the log floor alone gives 1e-30**s, over budget
+    # at small strength)
+    ao = jnp.where(
+        vis > 0.0, jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30))), 0.0)
 
     slot_global = (
         jax.lax.broadcasted_iota(jnp.int32, (nrows, lw), 0) + i * R - 1)
@@ -431,91 +437,8 @@ def _fused_l1_kernel(pairs, R, lw, lh, scal_ref, zwin_ref, dwin_ref,
     is bit-compatible with the unfused path everywhere.
     """
     H2 = 20  # parity pad of zwin (16 render halo + 4 alignment margin)
-    falloff = scal_ref[0, 0]
-    strength = scal_ref[0, 1]
-    inv_rc = scal_ref[0, 2]
-    k_blur = scal_ref[0, 4]
-    k_up = scal_ref[0, 5]
-    nfs = scal_ref[0, 6]
-
-    i = pl.program_id(0)
-    z = zwin_ref[0]
-    nrows = R + 3  # rendered ext rows [iR-1, iR+R+2)
-    # row base 16 (window rows start at ext row iR-17), col base H2
-    zc = z[16: 16 + nrows, H2: H2 + lw]
-    inv_zc = 1.0 / zc
-    vis = jnp.zeros((nrows, lw), jnp.float32)
-    prev_t = None
-    a_i = None
-    for (dx, dy, t, w_pair) in pairs:
-        inv_r = (1.0 / t) * inv_rc
-        if t != prev_t:
-            a_i = inv_zc * inv_r
-            prev_t = t
-        b_i = 1.0 - inv_r
-        d1 = z[16 + dy: 16 + dy + nrows, H2 + dx: H2 + dx + lw] * a_i + b_i
-        d2 = z[16 - dy: 16 - dy + nrows, H2 - dx: H2 - dx + lw] * a_i + b_i
-        p1 = jnp.clip(falloff * d1, 0.0, 1.0)
-        p2 = jnp.clip(falloff * d2, 0.0, 1.0)
-        vis = vis + (0.5 * w_pair) * (
-            jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2)
-            + jnp.maximum(jnp.clip(d2, 0.0, 1.0), p1))
-    vis = jnp.clip(vis, 0.0, 1.0)
-    ao = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
-
-    # --- frame-edge fixups: ext rows outside [0, lh) take the edge row
-    # (dynamic row picks go through VMEM scratch: Mosaic has no
-    # dynamic_slice on values) ---
-    slot_global = (
-        jax.lax.broadcasted_iota(jnp.int32, (nrows, lw), 0) + i * R - 1)
-    ao_scratch[:] = ao
-    top_row = ao_scratch[pl.ds(jnp.clip(1 - i * R, 0, nrows - 1), 1), :]
-    bot_row = ao_scratch[pl.ds(jnp.clip(lh - i * R, 0, nrows - 1), 1), :]
-    ao = jnp.where(slot_global < 0, top_row, ao)
-    ao = jnp.where(slot_global > lh - 1, bot_row, ao)
-    # column ext: [-1, lw+1] via edge replication -> (nrows, lw+3)
-    ao = jnp.concatenate(
-        [ao[:, :1], ao, ao[:, lw - 1:], ao[:, lw - 1:]], axis=1)
-
-    # --- premin + noise filter on ext rows [iR, iR+R] ---
-    lo_a = jnp.minimum(ao, c1win_ref[0])
-    lo_d = dwin_ref[0]
-    fr_, fc_ = R + 1, lw + 1
-    dc_c = lo_d[1: 1 + fr_, 1: 1 + fc_]
-    acc = jnp.zeros((fr_, fc_), jnp.float32)
-    wacc = jnp.zeros((fr_, fc_), jnp.float32)
-    for dy, dx, gw in ((-1, -1, 1.), (-1, 0, 2.), (-1, 1, 1.),
-                       (0, -1, 2.), (0, 0, 4.), (0, 1, 2.),
-                       (1, -1, 1.), (1, 0, 2.), (1, 1, 1.)):
-        a_n = lo_a[1 + dy: 1 + dy + fr_, 1 + dx: 1 + dx + fc_]
-        d_n = lo_d[1 + dy: 1 + dy + fr_, 1 + dx: 1 + dx + fc_]
-        dd = d_n - dc_c
-        wt = gw / (1.0 + nfs * dd * dd)
-        acc += wt * a_n
-        wacc += wt
-    filtered = acc / wacc
-
-    # --- bilateral 2x to parity planes ---
-    for p in (0, 1):
-        for q in (0, 1):
-            hd = hid_ref[2 * p + q]
-            up_acc = jnp.zeros((R, lw), jnp.float32)
-            up_w = jnp.zeros((R, lw), jnp.float32)
-            for dr in (0, 1):
-                wr = 1.0 - p * 0.5 if dr == 0 else p * 0.5
-                if wr == 0.0:
-                    continue
-                for dc in (0, 1):
-                    wc = 1.0 - q * 0.5 if dc == 0 else q * 0.5
-                    if wc == 0.0:
-                        continue
-                    a = filtered[dr: dr + R, dc: dc + lw]
-                    d = lo_d[1 + dr: 1 + dr + R, 1 + dc: 1 + dc + lw]
-                    dd = d - hd
-                    wt = (wr * wc) / (dd * dd / k_blur + k_up)
-                    up_acc += wt * a
-                    up_w += wt
-            out_ref[2 * p + q] = up_acc / jnp.maximum(up_w, 1e-30)
+    _fused_l1_body(pairs, R, lw, lh, H2, scal_ref, zwin_ref[0], dwin_ref[0],
+                   c1win_ref[0], hid_ref, out_ref, ao_scratch)
 
 
 def fused_render_upsample_step(ds, c1, hi_d, level: int, full_width: int,
@@ -657,7 +580,8 @@ def _render_kernel_dma(pairs, R, w, g, scal_ref, zp_hbm, o_ref, zbuf, sems):
             jnp.maximum(jnp.clip(d1, 0.0, 1.0), p2)
             + jnp.maximum(jnp.clip(d2, 0.0, 1.0), p1))
     vis = jnp.clip(vis, 0.0, 1.0)
-    o_ref[0] = jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30)))
+    o_ref[0] = jnp.where(
+        vis > 0.0, jnp.exp(strength * jnp.log(jnp.maximum(vis, 1e-30))), 0.0)
 
 
 def render_ao_level_dma(ds, level: int, full_width: int, camera, params,
@@ -744,8 +668,9 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
     wins = [_row_windows(zp, g, R)]
     nwins = []
     if use_n:
-        if normals_ds.shape[-1] == 3 and normals_ds.shape[-3] != 3:
-            normals_ds = jnp.moveaxis(normals_ds, -1, -3)
+        from tpuao.ops.render import normals_channel_last
+
+        normals_ds = jnp.moveaxis(normals_channel_last(normals_ds), -1, -3)
         for c in range(3):
             npc = normals_ds[..., c, :, :].astype(jnp.float32)
             if pad_rows:

@@ -62,6 +62,32 @@ def _pair_constants(params):
     return out
 
 
+def normals_channel_last(normals):
+    """Return ``normals`` in channel-last (..., H, W, 3) layout.
+
+    Accepts channel-last or channel-first (..., 3, H, W).  When BOTH the
+    last and third-from-last dims are 3 the layout cannot be inferred
+    (e.g. a (3, W, 3) buffer), so this raises instead of silently reading
+    image rows as components — the same ambiguity class as the camera
+    B == 1 case.  The full pipeline never hits it (padded frames are
+    64-aligned, so no level is 3 pixels tall); it only guards direct
+    per-level calls.
+    """
+    cl = normals.shape[-1] == 3
+    cf = normals.ndim >= 3 and normals.shape[-3] == 3
+    if cl and cf:
+        raise ValueError(
+            f"ambiguous normals layout {normals.shape}: both candidate "
+            "channel dims are 3 — pass channel-last (..., H, W, 3) with "
+            "H != 3")
+    if cf:
+        return jnp.moveaxis(normals, -3, -1)
+    if cl:
+        return normals
+    raise ValueError(f"normals shape {normals.shape} has no size-3 "
+                     "channel dim")
+
+
 def slope_planes(normals, tan_half_fov_h, full_width: int):
     """(g_x, g_y) tangent-slope planes at level-0 texel scale.
 
@@ -76,15 +102,10 @@ def slope_planes(normals, tan_half_fov_h, full_width: int):
     strided slicing lowers ~10x slower than rank-2 on TPU (measured,
     benchmarks/exp/normals_prologue.py: 0.25 ms vs 0.02 ms at 1080p).
     """
-    if normals.shape[-1] == 3 and (normals.ndim < 3
-                                   or normals.shape[-3] != 3):
-        n_x = normals[..., 0]
-        n_y = normals[..., 1]
-        n_z = normals[..., 2]
-    else:
-        n_x = normals[..., 0, :, :]
-        n_y = normals[..., 1, :, :]
-        n_z = normals[..., 2, :, :]
+    normals = normals_channel_last(normals)
+    n_x = normals[..., 0]
+    n_y = normals[..., 1]
+    n_z = normals[..., 2]
     ts0 = 2.0 * tan_half_fov_h / full_width
     grad = ts0 / jnp.maximum(n_z.astype(jnp.float32), 0.05)
     return n_x.astype(jnp.float32) * grad, n_y.astype(jnp.float32) * grad
@@ -146,9 +167,8 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
             # layout -- a minor dim of 3 tiles catastrophically) or the
             # golden's channel-last (..., h, w, 3).  Only the *center*
             # normal is read by the tangent test, so no parity padding.
-            if normals_ds.shape[-1] == 3 and normals_ds.shape[-3] != 3:
-                normals_ds = jnp.moveaxis(normals_ds, -1, -3)
-            nrm = normals_ds.astype(jnp.float32)
+            nrm = jnp.moveaxis(normals_channel_last(normals_ds),
+                               -1, -3).astype(jnp.float32)
             texel_scale = 2.0 * camera.tan_half_fov_h / (
                 full_width // (1 << level))
             n_z = jnp.maximum(nrm[..., 2, :, :], 0.05)

@@ -158,9 +158,14 @@ if struct is not None:
         )
 
         def validate(self) -> "AOParams":
+            import numpy as _np
+
             for name, (lo, hi) in PARAM_RANGES.items():
                 v = getattr(self, name)
-                if isinstance(v, (int, float)) and not (lo <= float(v) <= hi):
+                # concrete numbers (incl. np.float32 etc.) are range-checked;
+                # traced values pass through (tunables ride as jit scalars)
+                if (isinstance(v, (int, float, _np.floating, _np.integer))
+                        and not (lo <= float(v) <= hi)):
                     raise ValueError(
                         f"AOParams.{name}={v} outside range [{lo}, {hi}]"
                     )
@@ -352,7 +357,12 @@ def upsample_constants(params, full_width: int, lo_width: int):
 
     step_size = full_width / lo_width
     k_blur = (1.0 - p10(params.blur_tolerance) * step_size)
-    k_blur = k_blur * k_blur
+    # +1e-30 floors k_blur away from exact 0 (possible in-range, e.g.
+    # blur_tolerance = log10(1/step_size)): the upsample weight divides
+    # dd^2 by k_blur and corner-aligned taps have dd == 0 bit-exactly, so
+    # k_blur == 0 would make the whole frame NaN via 0/0.  The offset is
+    # below f32/f64 resolution everywhere else (shared by golden + impls).
+    k_blur = k_blur * k_blur + 1e-30
     k_up = p10(params.upsample_tolerance)
     nfs = 1.0 / (p10(params.noise_filter_tolerance) + k_up)
     return step_size, k_blur, k_up, nfs
