@@ -146,8 +146,8 @@ def main():
     results["configs"]["1_720p_single_scale"] = dict(
         ms=ms, ms_min=mn, mpix_s=(1280 * 720 / 1e6) / (ms / 1e3),
         max_abs_err=err,
-        roofline=roofline(f1, ms, 720, 1280, zd,
-                          depth_levels=1, enable_blur=False))
+        roofline=roofline(f1, ms, 720, 1280, zd, depth_levels=1,
+                          enable_blur=False, single_scale=True))
 
     # ---- config 2: full 4-level pipeline, 1080p, depth-only (HEADLINE) ----
     z = scene(1080, 1920)
@@ -221,7 +221,11 @@ def main():
     n_dev = len(jax.devices())
     views = 8
     zs = np.stack([scene(1080, 1920)] * views).astype(np.float32)
-    mesh = make_mesh(n_dev if views % n_dev == 0 else 1)
+    # largest mesh that divides the view count (silent 1-chip fallback on
+    # e.g. a 16-device host would mislabel single-chip perf as sharded)
+    n_mesh = max(d for d in range(1, min(n_dev, views) + 1)
+                 if views % d == 0)
+    mesh = make_mesh(n_mesh)
     spec = NamedSharding(mesh, P(VIEW_AXIS, None, None))
     zsd = jax.device_put(zs, spec)
     sm = sharded_views_fn(cam, p2, mesh, impl=impl)

@@ -51,4 +51,6 @@ def test_debug_dump_npz(tmp_path):
     names = dump_debug_buffers(d, p)
     assert names == ["a", "nested/b"]
     loaded = load_debug_buffers(p)
-    assert set(loaded) == {"a", "nested.b"}
+    # load restores the '/'-nested keys (identical to the zarr backend)
+    assert set(loaded) == {"a", "nested/b"}
+    np.testing.assert_array_equal(loaded["nested/b"], np.zeros((2, 2)))

@@ -28,10 +28,17 @@ VIEW_AXIS = "views"
 
 
 def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D device mesh over the view axis."""
+    """1-D device mesh over the view axis.
+
+    Raises when ``n_devices`` exceeds the available devices (silent
+    truncation would let a 'multi-chip' run quietly execute on a smaller
+    mesh than requested, as ``make_grid_mesh`` already guards)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"mesh of {n_devices} devices requested, "
+                             f"have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (VIEW_AXIS,))
 

@@ -43,6 +43,9 @@ def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(f"mesh of {n_devices} devices requested, "
+                             f"have {len(devices)}")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (ROW_AXIS,))
 

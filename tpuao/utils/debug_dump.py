@@ -65,8 +65,10 @@ def dump_debug_buffers(debug: dict, path: str, use_tensorstore: bool | None = No
 def load_debug_buffers(path: str) -> dict[str, np.ndarray]:
     """Inverse of dump_debug_buffers (npz or zarr tree)."""
     if path.endswith(".npz") or os.path.isfile(path):
+        # restore the '/'-nested keys dump rewrote for npz, so both
+        # backends round-trip to identical key sets
         with np.load(path) as z:
-            return {k: z[k] for k in z.files}
+            return {k.replace(".", "/"): z[k] for k in z.files}
     import tensorstore as ts
 
     out = {}

@@ -181,6 +181,41 @@ def load_pfm_batch(paths: Sequence[str], threads: int | None = None
     return out
 
 
+def _qput(q, stop, item) -> bool:
+    """Bounded put that gives up when the stop event is set."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
+def _prefetch_worker(batches, q, stop, threads):
+    # module-level on purpose: referencing the prefetcher from the thread
+    # would keep it alive forever and defeat the GC finalizer
+    try:
+        for paths in batches:
+            if stop.is_set():
+                return
+            if not _qput(q, stop, ("ok", load_pfm_batch(paths, threads))):
+                return
+    except Exception as e:  # surfaced on the consumer side
+        _qput(q, stop, ("err", e))
+        return
+    _qput(q, stop, ("end", None))
+
+
+def _prefetch_shutdown(stop, q):
+    stop.set()
+    while True:
+        try:
+            q.get_nowait()
+        except queue.Empty:
+            return
+
+
 class FramePrefetcher:
     """Iterate (N, H, W) depth batches with background decode.
 
@@ -193,40 +228,24 @@ class FramePrefetcher:
     Also a context manager: ``close()`` (or leaving the ``with`` block)
     stops the worker and drops buffered batches, so abandoning iteration
     early does not pin decoded frames in memory for the process lifetime.
+    The worker thread holds no reference to the prefetcher object, so a
+    dropped prefetcher is garbage-collectable and a ``weakref.finalize``
+    shuts the worker down automatically.
     """
 
     def __init__(self, batches: Iterable[Sequence[str]], depth: int = 2,
                  threads: int | None = None):
-        self._batches = iter(batches)
-        self._threads = threads
+        import weakref
+
         self._q: queue.Queue = queue.Queue(maxsize=max(1, depth))
         self._stop = threading.Event()
         self._done = False
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker = threading.Thread(
+            target=_prefetch_worker,
+            args=(iter(batches), self._q, self._stop, threads), daemon=True)
         self._worker.start()
-
-    def _put(self, item) -> bool:
-        """Bounded put that gives up when close() is called."""
-        while not self._stop.is_set():
-            try:
-                self._q.put(item, timeout=0.1)
-                return True
-            except queue.Full:
-                continue
-        return False
-
-    def _run(self):
-        try:
-            for paths in self._batches:
-                if self._stop.is_set():
-                    return
-                if not self._put(("ok", load_pfm_batch(paths,
-                                                       self._threads))):
-                    return
-        except Exception as e:  # surfaced on the consumer side
-            self._put(("err", e))
-            return
-        self._put(("end", None))
+        self._finalizer = weakref.finalize(
+            self, _prefetch_shutdown, self._stop, self._q)
 
     def __iter__(self):
         return self
@@ -245,20 +264,11 @@ class FramePrefetcher:
     def close(self):
         """Stop the worker and release buffered batches (idempotent)."""
         self._done = True
-        self._stop.set()
-
-        def drain():
-            while True:
-                try:
-                    self._q.get_nowait()
-                except queue.Empty:
-                    return
-
-        drain()  # unblock a worker stuck on a full queue
+        _prefetch_shutdown(self._stop, self._q)
         self._worker.join(timeout=5.0)
         # the worker's in-flight put may have landed into the slot the
         # drain freed -- drain again so no decoded batch stays pinned
-        drain()
+        _prefetch_shutdown(self._stop, self._q)
         try:  # wake any consumer blocked in __next__'s untimed get()
             self._q.put_nowait(("end", None))
         except queue.Full:

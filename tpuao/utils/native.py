@@ -37,13 +37,23 @@ def _build() -> str | None:
     if (os.path.exists(_LIB)
             and os.path.getmtime(_LIB) >= max(map(os.path.getmtime, srcs))):
         return _LIB
+    # Build to a per-pid temp path and os.rename into place: two processes
+    # compiling concurrently (bench + pytest, say) must not interleave
+    # writes into the final .so -- a corrupt library with a fresh mtime
+    # would defeat the rebuild check for every later process.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", _LIB]
+            ["g++", "-O3", "-shared", "-fPIC", "-pthread", "-o", tmp]
             + srcs,
             check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _LIB)  # atomic on POSIX
         return _LIB
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 
@@ -59,6 +69,8 @@ def get_lib():
             return None
         try:
             lib = ctypes.CDLL(path)
+            # AttributeError covers a loadable .so missing our symbols
+            # (stale/foreign library) -- fall back, don't crash
             if lib.tpuao_native_abi_version() != ABI_VERSION:
                 return None
             lib.raycast_spheres.argtypes = [
@@ -71,7 +83,7 @@ def get_lib():
             ]
             lib.raycast_spheres.restype = None
             _lib = lib
-        except OSError:
+        except (OSError, AttributeError):
             _lib = None
         return _lib
 

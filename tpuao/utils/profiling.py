@@ -80,12 +80,22 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
             ests.append((tp - t1) / (probe - 1) * 1e3)
         est_ms = max(min(ests), 1e-3)
         iters = int(np.clip(400.0 / est_ms, 100, 20000))
+    iters = max(int(iters), 2)  # two-point cancellation needs iters >= 2
     float(compiled(iters, *args))
     samples = []
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        float(compiled(1, *args))
-        t1 = time.perf_counter() - t0
+        # Baseline t1 is the MIN of two chain-1 calls: an RTT spike can
+        # only ADD time, so min is the cleanest fixed-latency estimate.  A
+        # spike on a single t1 would subtract from (tn - t1) and bias the
+        # sample (and especially the reported min) LOW -- a 100 ms hiccup
+        # undershoots a 0.35 ms program by ~25%.  Spikes on tn only
+        # overestimate, which the median absorbs conservatively.
+        t1s = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(compiled(1, *args))
+            t1s.append(time.perf_counter() - t0)
+        t1 = min(t1s)
         t0 = time.perf_counter()
         float(compiled(iters, *args))
         tn = time.perf_counter() - t0

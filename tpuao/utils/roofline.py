@@ -30,6 +30,7 @@ VPU_F32_TFLOPS = 6.1
 
 def min_traffic_bytes(h: int, w: int, depth_levels: int = 4,
                       use_normals: bool = False, enable_blur: bool = True,
+                      single_scale: bool = False,
                       dtype_bytes: int = 4) -> int:
     """Minimal HBM bytes for one frame through the pipeline.
 
@@ -67,8 +68,10 @@ def min_traffic_bytes(h: int, w: int, depth_levels: int = 4,
             # hi depth@l-1; write combined@l-1
             t += lv[l] * (3 if l == depth_levels else 4)
             t += 2 * lv[l - 1]
-    else:
+    elif not single_scale:
         t += lv[1] + hw   # nearest-upsample the finest AO
+    # single_scale ([BJ] config 1, pipeline.single_scale_ao): the half-res
+    # AO buffer IS the output -- no re-read, no full-res upsample write
 
     return t * dtype_bytes
 
