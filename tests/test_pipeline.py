@@ -255,6 +255,38 @@ def test_param_fuzz_matches_golden():
                                    err_msg=str(par))
 
 
+@pytest.mark.slow
+def test_shape_param_fuzz_matches_golden():
+    """Randomized differential matrix: random ODD shapes x hierarchy
+    depth x normals x tunable extremes, jnp vs golden (extends the
+    fixed-shape fuzz above with the pad/crop axis)."""
+    from tpuao.params import PARAM_RANGES, to_golden
+
+    rng = np.random.default_rng(7)
+    cam_j = CameraParams(depth_mode="linear")
+    for trial in range(5):
+        h = int(rng.integers(49, 200))
+        w = int(rng.integers(49, 260))
+        use_n = bool(rng.integers(0, 2))
+        z, n = F.spheres_on_plane(h, w, n_spheres=3, seed=trial,
+                                  with_normals=True)
+        kw = {name: float(rng.uniform(lo, hi))
+              for name, (lo, hi) in PARAM_RANGES.items()}
+        par = AOParams(hierarchy_depth=int(rng.integers(1, 5)),
+                       exhaustive=bool(rng.integers(0, 2)),
+                       use_normals=use_n, **kw).validate()
+        gp, gc = to_golden(par, cam_j)
+        got = np.asarray(render_frame(z, cam_j, par,
+                                      normals=n if use_n else None,
+                                      impl="jnp"))
+        want = G.render_frame_golden(z, gc, gp,
+                                     normals=n if use_n else None)
+        assert got.shape == (h, w), (h, w)
+        assert np.all((got >= 0) & (got <= 1))
+        np.testing.assert_allclose(
+            got, want, atol=5e-4, err_msg=f"{h}x{w} {par}")
+
+
 def test_pipeline_on_image_depth(tmp_path):
     # SURVEY.md SS5.3: procedural depth from an image file
     from tpuao.utils.io import load_depth_image, save_ao_image
