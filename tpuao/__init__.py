@@ -27,9 +27,14 @@ __version__ = "0.1.0"
 
 
 def render_frame(depth, camera=None, params=None, normals=None, color=None,
-                 debug_outputs=False):
-    """Functional entry point: full AO pipeline on one frame (lazy import)."""
+                 debug_outputs=False, impl="auto", out_dtype="float32"):
+    """Functional entry point: full AO pipeline on one frame (lazy import).
+
+    Same signature as ``tpuao.models.pipeline.render_frame`` (impl and
+    out_dtype included -- the package-level wrapper must not narrow it).
+    """
     from tpuao.models.pipeline import render_frame as _rf
 
     return _rf(depth, camera=camera, params=params, normals=normals,
-               color=color, debug_outputs=debug_outputs)
+               color=color, debug_outputs=debug_outputs, impl=impl,
+               out_dtype=out_dtype)
