@@ -162,12 +162,18 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
     else:
         upsample_step = _select_upsample_impl(impl)
         for l in range(d, 0, -1):
+            # final step: crop inside the step (plane-space when even) so
+            # the padded rows/cols are never interleaved or copied
+            final = l == 1 and upsample_step is U.blur_upsample_step
             with jax.named_scope(f"ao_upsample_l{l}"):
                 combined = upsample_step(
                     combined, pyr[l], pyr[l - 1], params, wp,
                     lo_ao2=aos[l] if l != d else None,
+                    **({"crop_hw": (h0, w0)} if final else {}),
                 )
             debug[f"combined_{l-1}"] = combined
+        if combined.shape[-2:] == (h0, w0):
+            return combined, debug
     return combined[..., :h0, :w0], debug
 
 

@@ -162,15 +162,26 @@ def bilateral_upsample2x(lo_ao, lo_d, hi_d, k_blur, k_up):
     return interleave2x2(*planes)
 
 
-def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up):
+def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up,
+                              crop_hw=None):
     """Parity-plane bilateral 2x from edge-extended (lh+1, lw+1) fields.
 
     Same math as ``bilateral_upsample2x`` but taps are plain slices of the
     pre-extended inputs (the spec's composition rule; see golden
-    blur_upsample_step docstring)."""
+    blur_upsample_step docstring).
+
+    ``crop_hw=(h, w)``: crop the result to (h, w).  When both are even
+    the crop happens IN PLANE SPACE (each plane sliced to (h/2, w/2))
+    before the interleave — bit-identical to interleaving then cropping
+    (out[2i+p, 2j+q] = plane[i, j]), but the final full-res copy
+    disappears and XLA's fusions skip computing the pad region entirely
+    (~0.3 ms of relayout at 8K).  Odd dims fall back to post-crop.
+    """
     lh, lw = hi_d.shape[-2], hi_d.shape[-1]
     lh, lw = lh // 2, lw // 2
     lead = hi_d.shape[:-2]
+    plane_crop = (crop_hw is not None
+                  and crop_hw[0] % 2 == 0 and crop_hw[1] % 2 == 0)
 
     taps = {(dr, dc): (f_ext[..., dr: dr + lh, dc: dc + lw],
                        d_ext[..., dr: dr + lh, dc: dc + lw])
@@ -195,22 +206,31 @@ def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up):
                     wt = (wr * wc) / (dd * dd / k_blur + k_up)
                     acc = acc + wt * a
                     wacc = wacc + wt
-            planes.append(acc / jnp.maximum(wacc, 1e-30))
+            plane = acc / jnp.maximum(wacc, 1e-30)
+            if plane_crop:
+                plane = plane[..., : crop_hw[0] // 2, : crop_hw[1] // 2]
+            planes.append(plane)
 
-    return interleave2x2(*planes)
+    out = interleave2x2(*planes)
+    if crop_hw is not None and not plane_crop:
+        out = out[..., : crop_hw[0], : crop_hw[1]]
+    return out
 
 
 BAND_ROWS = 512
 
 
 def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
-                       lo_ao2=None, hi_ao_blend=None):
+                       lo_ao2=None, hi_ao_blend=None, crop_hw=None):
     """One chain step: [pre-min] -> noise filter -> bilateral 2x [-> blend].
 
     The 4 reference upsample kernel variants are selected by the optional
     args (SURVEY.md SS3.0/SS3.3); the main chain uses pre-min on every step
     after the coarsest.  Edge handling follows the spec's edge-extended
-    composition (golden blur_upsample_step docstring).
+    composition (golden blur_upsample_step docstring).  ``crop_hw``
+    crops the result (in plane space when even -- see
+    ``_bilateral_upsample2x_ext``); the pipeline passes it on the final
+    step so the padded rows/cols are never interleaved at all.
     """
     if lo_ao2 is not None:
         lo_ao = jnp.minimum(lo_ao, lo_ao2)
@@ -221,8 +241,10 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     dp = jnp.pad(lo_d.astype(jnp.float32), pad, mode="edge")
     filtered = noise_filter(ap, dp, nfs)
     up = _bilateral_upsample2x_ext(filtered, dp, hi_d.astype(jnp.float32),
-                                   k_blur, k_up)
+                                   k_blur, k_up, crop_hw=crop_hw)
     if hi_ao_blend is not None:
+        if crop_hw is not None:
+            hi_ao_blend = hi_ao_blend[..., : crop_hw[0], : crop_hw[1]]
         up = jnp.minimum(up, hi_ao_blend)
     return up
 
