@@ -142,7 +142,14 @@ def ao_pipeline(depth, camera, params, normals=None, impl: str = "auto"):
              "pyramid": {l: pyr[l] for l in range(d + 1)}}
 
     if not params.enable_blur:
-        ao = jnp.repeat(jnp.repeat(aos[1], 2, axis=-2), 2, axis=-1)
+        # nearest 2x upsample = interleave of 4 identical planes (the
+        # jnp.repeat form is the measured-slow minor-dim relayout); crop
+        # in plane space when the target dims are even
+        a = aos[1]
+        if h0 % 2 == 0 and w0 % 2 == 0:
+            a = a[..., : h0 // 2, : w0 // 2]
+            return U.interleave2x2(a, a, a, a), debug
+        ao = U.interleave2x2(a, a, a, a)
         return ao[..., :h0, :w0], debug
 
     # PreMin chain; a BlendOut wiring is algebraically identical (see golden
