@@ -1,5 +1,7 @@
 """Aux subsystem tests: quality presets, debug buffer dump (SURVEY.md SS6)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -38,9 +40,10 @@ def test_debug_dump_roundtrip(tmp_path):
     names = dump_debug_buffers(dbg, path)
     assert any("linear_z" in n for n in names)
     assert any("ao_levels" in n for n in names)
-    loaded = load_debug_buffers(
-        path if not path.endswith(".npz") else path)
-    # find linear_z under either naming scheme
+    # dump appended .npz when tensorstore was unavailable; load must work
+    # with whichever artifact exists on disk
+    artifact = path if os.path.isdir(path) else path + ".npz"
+    loaded = load_debug_buffers(artifact)
     key = next(k for k in loaded if "linear_z" in k)
     np.testing.assert_allclose(loaded[key], np.asarray(dbg["linear_z"]))
 

@@ -35,7 +35,14 @@ def test_pair_table_exhaustive():
 def test_pair_table_sparse():
     offs, w = build_pair_table(False)
     assert np.isclose(w.sum(), 1.0)
-    assert len(offs) < 34
+    # the sparse disc is exactly the even-coordinate entries -- taps that
+    # stay on the half-res grid (the reference's non-exhaustive mode);
+    # pin the offsets, not just the count, so a silent subset change
+    # can't slip through a snapshot regeneration
+    assert {(int(x), int(y)) for x, y in offs} == {
+        (0, 2), (0, 4), (2, -4), (2, -2), (2, 0),
+        (2, 2), (2, 4), (4, -2), (4, 0), (4, 2)}
+    assert all(x % 2 == 0 and y % 2 == 0 for x, y in offs)
 
 
 def test_linearize_monotone_and_range():
@@ -54,9 +61,14 @@ def test_pad_parity4_slice_clamp():
     for c in range(4):
         assert np.all(p[8:16, 8 + c - 4] == x[:, c])
         assert np.all(p[8:16, 8 + c - 8] == x[:, c])
-    # and off the bottom edge preserves row parity
+    # and off the bottom edge preserves row parity: padded rows 16..19
+    # (BELOW the original's last row 15) must replicate rows 4..7
     for r in range(4):
-        assert np.all(p[8 + (8 - 4) + r, 8:20] == x[4 + r, :])
+        assert np.all(p[8 + 8 + r, 8:20] == x[4 + r, :])
+        assert np.all(p[8 + 12 + r, 8:20] == x[4 + r, :])
+    # and off the top edge: padded rows 4..7 replicate rows 0..3
+    for r in range(4):
+        assert np.all(p[4 + r, 8:20] == x[r, :])
 
 
 def test_deinterleave_equivalence():
@@ -156,6 +168,23 @@ def test_noise_filter_smooths_flat_depth():
     assert out.std() < a.std()
 
 
+def test_noise_filter_suppresses_across_depth_step():
+    """The 1/(1+NFS*dd^2) term must down-weight neighbors across a depth
+    edge: with a strong step, a pixel's filtered AO stays near its own
+    side's value instead of averaging across (a depth-blind [1,2,1]^2
+    blur would fail this)."""
+    d = np.full((8, 16), 0.2)
+    d[:, 8:] = 0.9
+    a = np.where(d < 0.5, 0.0, 1.0)
+    strong = G.noise_filter(a, d, noise_filter_strength=1e4)
+    blind = G.noise_filter(a, d, noise_filter_strength=0.0)
+    # boundary columns: depth-aware keeps the edge sharp
+    assert strong[:, 7].max() < 0.01 and strong[:, 8].min() > 0.99
+    # sanity: the depth-blind filter DOES bleed (so the assert above is
+    # discriminating, not vacuous)
+    assert blind[:, 7].max() > 0.2 and blind[:, 8].min() < 0.8
+
+
 def test_bilateral_upsample_exact_on_constant():
     lo = np.full((8, 12), 0.42)
     lo_d = np.full((8, 12), 0.5)
@@ -175,6 +204,10 @@ def test_bilateral_upsample_respects_depth_edges():
     # background column adjacent to the edge stays ~1
     assert up[:, 13].min() > 0.95
     assert up[:, 10].max() < 0.05
+    # the DISCRIMINATING column: hi column 11 interpolates lo columns 5
+    # (foreground) and 6 (background); plain bilinear would give 0.5,
+    # the depth term must keep it on its own (foreground) side
+    assert up[:, 11].max() < 0.05
 
 
 def test_full_pipeline_shapes_and_padding():

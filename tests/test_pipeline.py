@@ -320,11 +320,25 @@ def test_low_precision_depth_inputs():
 
 
 def test_enable_blur_false():
-    z = _scene(64, 64)
-    ao = np.asarray(render_frame(
-        z, CameraParams(depth_mode="linear"),
-        AOParams(enable_blur=False, hierarchy_depth=1), impl="jnp"))
-    assert ao.shape == (64, 64)
+    """Values, not just shape: the no-blur path must equal a nearest 2x
+    upsample of the level-1 golden AO, for even AND odd target sizes
+    (the even path crops in plane space, odd post-crops)."""
+    from tpuao.params import to_golden
+
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams(enable_blur=False, hierarchy_depth=1)
+    gp, gc = to_golden(par, cam)
+    for h, w in ((64, 64), (51, 77)):
+        z = _scene(h, w)
+        ao = np.asarray(render_frame(z, cam, par, impl="jnp"))
+        assert ao.shape == (h, w)
+        from tpuao.params import padded_shape
+        hp, wp = padded_shape(h, w)
+        zpad = np.pad(z, [(0, hp - h), (0, wp - w)], mode="edge")
+        lvl1 = G.render_ao_level(G.downsample2x(zpad), 1, wp, gc, gp)
+        want = np.repeat(np.repeat(lvl1, 2, 0), 2, 1)[:h, :w]
+        np.testing.assert_allclose(ao, want, atol=1e-5,
+                                   err_msg=f"{h}x{w}")
 
 
 def test_batched_frames_all_impls():
