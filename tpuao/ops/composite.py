@@ -15,18 +15,18 @@ import jax.numpy as jnp
 def composite(color, ao):
     """Multiply single-channel AO into an (H, W[, C]) color frame.
 
-    The multiply runs in f32 and the result is cast back to the color
-    dtype (rounded for integer frames) — casting AO in [0, 1) to an
-    integer dtype first would truncate it to 0 and black the frame; the
-    golden spec multiplies in float.
+    Float color frames multiply in their own precision (f64 stays f64 —
+    the golden spec's path); integer frames upcast to f32 for the
+    multiply and round back — casting AO in [0, 1) to an integer dtype
+    first would truncate it to 0 and black the frame.
     """
     if color.ndim == ao.ndim + 1:
         ao = ao[..., None]
-    out = color.astype(jnp.float32) * ao.astype(jnp.float32)
     dt = jnp.dtype(color.dtype)
     if jnp.issubdtype(dt, jnp.integer):
+        out = color.astype(jnp.float32) * ao.astype(jnp.float32)
         return jnp.round(out).astype(dt)
-    return out.astype(dt)
+    return color * ao.astype(dt)
 
 
 def debug_view(ao, channels: int = 3):

@@ -20,6 +20,8 @@ edges.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -57,11 +59,9 @@ def edge_pad_rows(x, target_h: int, axis: int):
     h = x.shape[axis]
     if h == target_h:
         return x
-    take = [slice(None)] * x.ndim
-    take[axis] = slice(-1, None)
-    reps = [1] * x.ndim
-    reps[axis] = target_h - h
-    return jnp.concatenate([x, jnp.tile(x[tuple(take)], reps)], axis=axis)
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, target_h - h)
+    return jnp.pad(x, cfg, mode="edge")
 
 
 def pad_rows_aligned(x, n_bands: int, axis: int):
@@ -72,23 +72,24 @@ def pad_rows_aligned(x, n_bands: int, axis: int):
     return edge_pad_rows(x, ha, axis)
 
 
+@functools.lru_cache(maxsize=None)
+def _crop_jit(h: int, axis: int, sharding):
+    idx = tuple([slice(None)] * axis + [slice(0, h)])
+    return jax.jit(
+        lambda o: jax.lax.with_sharding_constraint(o[idx], sharding))
+
+
 def crop_rows_sharded(out, h: int, mesh: Mesh, spec, axis: int = 0):
     """Crop a row-sharded result back to ``h`` rows WITHOUT collapsing its
     sharding: a plain ``out[:h]`` outside jit gathers the array replicated
     onto every device (measured: PartitionSpec() on the result), defeating
     the point of sharding a frame too large for one chip.  Cropping under
     jit with an explicit sharding constraint keeps the row layout (the
-    last band is simply shorter)."""
+    last band is simply shorter).  The jitted crop is cached per
+    (h, axis, sharding) so streaming misaligned frames compiles once."""
     if out.shape[axis] == h:
         return out
-    sharding = NamedSharding(mesh, spec)
-    idx = tuple([slice(None)] * axis + [slice(0, h)])
-
-    @jax.jit
-    def crop(o):
-        return jax.lax.with_sharding_constraint(o[idx], sharding)
-
-    return crop(out)
+    return _crop_jit(h, axis, NamedSharding(mesh, spec))(out)
 
 
 def halo_extend_rows(d, halo: int, n: int, axis: int):

@@ -264,6 +264,7 @@ class FramePrefetcher:
     def close(self):
         """Stop the worker and release buffered batches (idempotent)."""
         self._done = True
+        self._finalizer.detach()  # close IS the shutdown; don't re-run at GC
         _prefetch_shutdown(self._stop, self._q)
         self._worker.join(timeout=5.0)
         # the worker's in-flight put may have landed into the slot the
