@@ -212,22 +212,30 @@ def _render_frame_impl(depth, camera, params, normals, color,
     return out
 
 
-from tpuao.utils.xla_opts import tpu_compiler_options  # noqa: E402
+from tpuao.utils.xla_opts import (  # noqa: E402
+    BIG_FRAME_PIXELS,
+    tpu_compiler_options,
+)
 
 
 @functools.lru_cache(maxsize=None)
-def _render_frame_jit_for_backend(backend: str):
+def _render_frame_jit_for_backend(backend: str, big_frame: bool):
+    # the optimal scoped-VMEM budget flips between frame-size classes
+    # (see tpu_compiler_options), so big frames get their own jit wrapper
+    pixels = (BIG_FRAME_PIXELS + 1) if big_frame else 1
     return jax.jit(
         _render_frame_impl,
         static_argnames=("debug_outputs", "impl", "out_dtype"),
-        compiler_options=tpu_compiler_options(),
+        compiler_options=tpu_compiler_options(pixels),
     )
 
 
 def _render_frame_jit(depth, camera, params, normals, color,
                       debug_outputs: bool, impl: str,
                       out_dtype: str = "float32"):
-    fn = _render_frame_jit_for_backend(jax.default_backend())
+    h, w = depth.shape[-2:]
+    fn = _render_frame_jit_for_backend(jax.default_backend(),
+                                       h * w > BIG_FRAME_PIXELS)
     return fn(depth, camera, params, normals, color,
               debug_outputs=debug_outputs, impl=impl, out_dtype=out_dtype)
 

@@ -59,8 +59,15 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
 
     from tpuao.utils.xla_opts import tpu_compiler_options
 
+    # frame-size-aware compiler options (the scoped-VMEM optimum flips
+    # for 8K-class frames): infer pixels from the first argument's
+    # trailing dims, which is the frame for every tpuao program
+    pixels = None
+    shape = getattr(args[0], "shape", ())
+    if len(shape) >= 2:
+        pixels = int(shape[-2]) * int(shape[-1])
     compiled = jax.jit(chained, static_argnums=0,
-                       compiler_options=tpu_compiler_options())
+                       compiler_options=tpu_compiler_options(pixels))
     float(compiled(1, *args))
     if iters is None:
         # Two-point probes so the relay RTT cancels out of the estimate.
