@@ -103,3 +103,24 @@ def test_sharded_views_exceed_devices_normals(views):
         [np.asarray(render_frame(z, cam, par, normals=n, impl="jnp"))
          for z, n in zip(zs, ns)])
     np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
+
+
+def test_sharded_no_retrace_on_tunable_change():
+    """Parallel modes share the engine's no-recompile contract: tunable
+    changes and repeat calls reuse the cached compiled program
+    (previously every call rebuilt closures and retraced)."""
+    import tpuao.parallel.sharding as S
+    from tpuao.utils import fixtures as F
+
+    z = np.stack([F.spheres_on_plane(64, 128, n_spheres=2, seed=s)
+                  for s in (0, 1)]).astype(np.float32)
+    mesh = S.make_mesh(2)
+    cam = CameraParams(depth_mode="linear")
+    S.render_views_sharded(z, cam, AOParams(), mesh=mesh, impl="jnp")
+    jit_obj = S._sharded_jit(mesh, False, "jnp", 64 * 128)
+    n0 = jit_obj._cache_size()
+    assert n0 >= 1
+    for s in (1.5, 3.0):
+        S.render_views_sharded(z, cam, AOParams(strength=s), mesh=mesh,
+                               impl="jnp")
+    assert jit_obj._cache_size() == n0

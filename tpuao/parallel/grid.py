@@ -16,6 +16,8 @@ adding views does not add collectives.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -84,8 +86,17 @@ def render_views_spatial(depths, camera=None, params=None,
 
     spec = NamedSharding(mesh, P(VIEW_AXIS, ROW_AXIS, None))
     depths = jax.device_put(jnp.asarray(depths, jnp.float32), spec)
+    # camera/params as traced jit arguments -> repeat calls and tunable
+    # changes reuse the cached compiled program (see sharding.py)
+    local_px = (h // nr + 2 * halo) * w  # per-chip band working set
+    return _grid_jit(mesh, nr, halo, impl, local_px)(depths, camera, params)
 
-    def per_chip(d):  # (v/nv, h/nr, W)
+
+@functools.lru_cache(maxsize=None)
+def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int):
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    def per_chip(d, camera, params):  # (v/nv, h/nr, W)
         # one block-wide halo exchange with the row neighbors (per local
         # view block, not per view: collectives don't scale with views)
         ext = halo_extend_rows(d, halo, nr, axis=1)
@@ -102,6 +113,6 @@ def render_views_spatial(depths, camera=None, params=None,
                         unroll=unroll)[1]
 
     fn = jax.shard_map(per_chip, mesh=mesh,
-                       in_specs=P(VIEW_AXIS, ROW_AXIS, None),
+                       in_specs=(P(VIEW_AXIS, ROW_AXIS, None), P(), P()),
                        out_specs=P(VIEW_AXIS, ROW_AXIS, None))
-    return jax.jit(fn)(depths)
+    return jax.jit(fn, compiler_options=tpu_compiler_options(local_px))

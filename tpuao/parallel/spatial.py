@@ -160,13 +160,26 @@ def render_frame_spatial(depth, camera=None, params=None,
 
     spec = NamedSharding(mesh, P(ROW_AXIS, None))
     depth = jax.device_put(jnp.asarray(depth, jnp.float32), spec)
-    halo = halo_rows
+    # camera/params ride as traced jit ARGUMENTS (replicated), so tunable
+    # changes and repeat calls hit the cached compiled program instead of
+    # retracing -- the engine's no-recompile contract, for this mode too
+    local_px = (h // n + 2 * halo_rows) * w
+    return _spatial_jit(mesh, n, halo_rows, impl, local_px)(
+        depth, camera, params)
 
-    def per_chip(d_local):  # (h/n, W)
+
+@functools.lru_cache(maxsize=None)
+def _spatial_jit(mesh: Mesh, n: int, halo: int, impl: str, local_px: int):
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    def per_chip(d_local, camera, params):  # (h/n, W)
         ext = halo_extend_rows(d_local, halo, n, axis=0)
         ao_ext = ao_pipeline(ext, camera, params, None, impl=impl)[0]
         return ao_ext[halo: halo + d_local.shape[0], :]
 
-    fn = jax.shard_map(per_chip, mesh=mesh, in_specs=P(ROW_AXIS, None),
+    fn = jax.shard_map(per_chip, mesh=mesh,
+                       in_specs=(P(ROW_AXIS, None), P(), P()),
                        out_specs=P(ROW_AXIS, None))
-    return jax.jit(fn)(depth)
+    # scoped-VMEM budget by the PER-CHIP working set (band + halos) --
+    # that's the frame size each chip's program actually sees
+    return jax.jit(fn, compiler_options=tpu_compiler_options(local_px))
