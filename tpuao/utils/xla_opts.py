@@ -12,10 +12,12 @@ BIG_FRAME_PIXELS = 16 << 20
 def tpu_compiler_options(pixels: int | None = None) -> dict | None:
     """Scoped-VMEM fusion budget, selected by frame size (measured, v5e):
 
-    * <= 4K frames: 64 MiB lets XLA form larger fusions across the
-      stencil chains — 0.89 -> 0.75 ms at 1080p in round 1; 48 MiB
-      measures the same, 96/128 MiB regress, 16-24 MiB regress badly
-      (1080p 0.32 -> 0.41-0.48 ms, 4K 1.45 -> 1.58 ms).
+    * <= 4K frames: 48 MiB. A large budget lets XLA form big fusions
+      across the stencil chains (0.89 -> 0.75 ms at 1080p in round 1 vs
+      the default), but the top end hurts: in-process sweeps give 4K
+      40 MiB 1.420 / 48 MiB 1.427 / 64 MiB 1.461 / 80 MiB 1.63 /
+      96+ worse, and 1080p 48 = 64 (0.322) while 16-24 MiB regress badly
+      (0.41-0.48 ms).
     * > BIG_FRAME_PIXELS (8K class): the opposite — 20 MiB forces
       smaller fusions whose working sets stay resident, 9.7 -> 8.1 ms
       at 8K (sweep: 16 MiB 8.22, 20 MiB 8.10, 24 MiB 8.2, 48 MiB 9.3,
@@ -28,5 +30,5 @@ def tpu_compiler_options(pixels: int | None = None) -> dict | None:
     if jax.default_backend() != "tpu":
         return None
     kib = 20480 if (pixels is not None and pixels > BIG_FRAME_PIXELS) \
-        else 65536
+        else 49152
     return {"xla_tpu_scoped_vmem_limit_kib": str(kib)}
