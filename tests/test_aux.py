@@ -57,3 +57,21 @@ def test_debug_dump_npz(tmp_path):
     # load restores the '/'-nested keys (identical to the zarr backend)
     assert set(loaded) == {"a", "nested/b"}
     np.testing.assert_array_equal(loaded["nested/b"], np.zeros((2, 2)))
+
+
+def test_compiler_options_size_classes(monkeypatch):
+    """The scoped-VMEM budget flips for >16 Mpix frames (measured: small
+    budgets regress <=4K 10-30%, large budgets regress 8K ~20%)."""
+    import tpuao.utils.xla_opts as X
+
+    monkeypatch.setattr(X.jax, "default_backend", lambda: "tpu")
+    assert X.tpu_compiler_options(None)[
+        "xla_tpu_scoped_vmem_limit_kib"] == "49152"
+    assert X.tpu_compiler_options(1080 * 1920)[
+        "xla_tpu_scoped_vmem_limit_kib"] == "49152"
+    assert X.tpu_compiler_options(2176 * 3840)[  # 4K padded: small class
+        "xla_tpu_scoped_vmem_limit_kib"] == "49152"
+    assert X.tpu_compiler_options(4352 * 7680)[  # 8K: big class
+        "xla_tpu_scoped_vmem_limit_kib"] == "20480"
+    monkeypatch.setattr(X.jax, "default_backend", lambda: "cpu")
+    assert X.tpu_compiler_options(4352 * 7680) is None
