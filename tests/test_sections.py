@@ -1,0 +1,91 @@
+"""Sequential section execution tests (single-device semantics).
+
+The sections mode must equal the MONOLITHIC single-chip program (not the
+padded-frame program the spatial mode matches): boundary sections include
+the real frame edge and the halo covers the full stencil reach.
+"""
+
+import numpy as np
+import pytest
+
+from tpuao.models.pipeline import render_frame
+from tpuao.parallel.sections import render_frame_sections, section_plan
+from tpuao.parallel.spatial import stencil_halo_rows
+from tpuao.params import AOParams, CameraParams
+from tpuao.utils import fixtures as F
+
+
+CAM = CameraParams(depth_mode="linear")
+
+
+def test_stencil_halo_rows_values():
+    assert stencil_halo_rows(AOParams()) == 320  # historical HALO_ROWS
+    assert stencil_halo_rows(AOParams(hierarchy_depth=3)) == 192
+    assert stencil_halo_rows(AOParams(hierarchy_depth=2)) == 128
+    assert stencil_halo_rows(AOParams(hierarchy_depth=1)) == 64
+    assert stencil_halo_rows(AOParams(enable_blur=False)) == 256
+
+
+def test_section_plan_bounds():
+    ha, band, plan = section_plan(2560, 4, 320)
+    assert (ha, band) == (2560, 640)
+    assert plan == [(0, 960, 0), (320, 1600, 320),
+                    (960, 2240, 320), (1600, 2560, 320)]
+    # misaligned height pads up; boundary sections clamp at the frame
+    ha, band, plan = section_plan(1000, 3, 128)
+    assert ha == 1152 and band == 384
+    assert plan[0] == (0, 512, 0)
+    assert plan[-1] == (640, 1152, 128)
+    # one section degenerates to the monolithic program
+    assert section_plan(512, 1, 320) == (512, 512, [(0, 512, 0)])
+
+
+def test_sections_match_monolithic():
+    h, w = 2560, 128
+    z = F.spheres_on_plane(h, w, n_spheres=5, seed=6).astype(np.float32)
+    par = AOParams()
+    want = np.asarray(render_frame(z, CAM, par, impl="jnp"))
+    got = np.asarray(render_frame_sections(z, CAM, par, n_sections=4,
+                                           impl="jnp"))
+    assert got.shape == (h, w)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_sections_misaligned_height_depth2():
+    # derived halo (128 for depth 2) + a height needing the pad-and-crop
+    h, w = 1000, 128
+    z = F.spheres_on_plane(h, w, n_spheres=4, seed=7).astype(np.float32)
+    par = AOParams(hierarchy_depth=2)
+    want = np.asarray(render_frame(z, CAM, par, impl="jnp"))
+    got = np.asarray(render_frame_sections(z, CAM, par, n_sections=3,
+                                           impl="jnp"))
+    assert got.shape == (h, w)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_sections_normals_color_out_dtype():
+    h, w = 512, 128
+    z, n = F.spheres_on_plane(h, w, n_spheres=4, seed=8, with_normals=True)
+    z = z.astype(np.float32)
+    n = n.astype(np.float32)
+    rng = np.random.default_rng(3)
+    color = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    par = AOParams(hierarchy_depth=2, use_normals=True)
+    want = np.asarray(render_frame(z, CAM, par, normals=n, color=color,
+                                   impl="jnp", out_dtype="uint8"))
+    got = np.asarray(render_frame_sections(z, CAM, par, n_sections=2,
+                                           normals=n, color=color,
+                                           impl="jnp", out_dtype="uint8"))
+    assert got.dtype == np.uint8 and got.shape == (h, w, 3)
+    # uint8 rounding can flip one code on ULP-level float differences
+    assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
+
+
+def test_sections_single_is_monolithic():
+    h, w = 256, 128
+    z = F.spheres_on_plane(h, w, n_spheres=3, seed=9).astype(np.float32)
+    par = AOParams(hierarchy_depth=2)
+    want = np.asarray(render_frame(z, CAM, par, impl="jnp"))
+    got = np.asarray(render_frame_sections(z, CAM, par, n_sections=1,
+                                           impl="jnp"))
+    np.testing.assert_array_equal(got, want)

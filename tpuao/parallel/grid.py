@@ -29,11 +29,11 @@ from tpuao.models.pipeline import ao_pipeline
 from tpuao.params import AOParams, CameraParams
 from tpuao.parallel.sharding import VIEW_AXIS
 from tpuao.parallel.spatial import (
-    HALO_ROWS,
     ROW_AXIS,
     crop_rows_sharded,
     halo_extend_rows,
     pad_rows_aligned,
+    stencil_halo_rows,
 )
 
 
@@ -51,7 +51,8 @@ def make_grid_mesh(n_views: int, n_bands: int, devices=None) -> Mesh:
 
 def render_views_spatial(depths, camera=None, params=None,
                          mesh: Mesh | None = None, impl: str = "jnp",
-                         halo_rows: int = HALO_ROWS, auto_pad: bool = True):
+                         halo_rows: int | None = None,
+                         auto_pad: bool = True):
     """(V, H, W) depth batch -> (V, H, W) AO on a 2-D views x rows mesh.
 
     Constraints (same as the 1-D modes they compose): V divisible by the
@@ -65,6 +66,8 @@ def render_views_spatial(depths, camera=None, params=None,
     """
     camera = camera or CameraParams()
     params = params or AOParams()
+    if halo_rows is None:
+        halo_rows = stencil_halo_rows(params)
     if mesh is None:
         mesh = make_grid_mesh(1, len(jax.devices()))
     nv = mesh.shape[VIEW_AXIS]

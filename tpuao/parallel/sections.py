@@ -1,0 +1,125 @@
+"""Single-chip sequential section execution for huge frames (>4K).
+
+VERDICT r2 next-item 1: on one chip, a >16 Mpix frame runs the monolithic
+pipeline at a worse roofline fraction than 4K-class frames (buffer-size
+efficiency slope, docs/PERF.md '8K').  This mode cuts the frame into ``k``
+halo-overlapped row sections executed as SEPARATE program launches -- each
+section program keeps the monolithic pipeline's full cross-stage fusion
+(this is NOT in-program banding, the measured 3-for-3 dead end) while
+sitting in the smaller-frame efficiency regime.
+
+Unlike ``parallel/spatial.py`` (whose bands edge-replicate a halo at the
+frame top/bottom, making the result equal to the HALO-padded-frame
+program), boundary sections here simply INCLUDE the real frame edge, so
+the stitched result equals the monolithic single-chip program on the same
+frame (asserted in tests/test_sections.py; agreement is <= 1 ULP rather
+than bitwise -- XLA's FMA contraction can differ between the section and
+monolithic executables).  The construction:
+
+* the frame is edge-padded to ``ha`` = the next multiple of ``64 * k``
+  (all pad rows replicate the last real row, so they carry the same values
+  as the monolithic program's own 64-alignment pad -- the exact clamp
+  target inside the pad region is then irrelevant);
+* section starts are 64-aligned, which keeps every pyramid level's
+  pick-one grid and the 4x4 deinterleave parity aligned with the global
+  frame;
+* the halo (``stencil_halo_rows(params)`` by default) covers the full
+  render + upsample-chain stencil reach, so every row kept by the crop is
+  computed from identical input values as in the monolithic program.
+
+Feature parity: normals / color / out_dtype thread through exactly like
+``render_frame`` (slopes are pointwise, the composite is local).
+``debug_outputs`` is intentionally not offered -- the debug pyramid is a
+whole-frame inspection artifact; use the monolithic path for it.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from tpuao.models.pipeline import render_frame
+from tpuao.ops.render import normals_channel_last
+from tpuao.params import AOParams, CameraParams
+from tpuao.parallel.spatial import stencil_halo_rows
+
+
+def section_plan(h: int, n_sections: int, halo: int):
+    """Row bounds for ``n_sections`` halo-overlapped sections.
+
+    Returns ``(aligned_h, band, [(start, stop, crop_off), ...])`` where the
+    frame is first edge-padded to ``aligned_h`` (next multiple of
+    ``64 * n_sections``), section ``i`` runs the pipeline on padded rows
+    ``[start, stop)``, and its output rows ``[crop_off, crop_off + band)``
+    are kept.  Boundary sections have one halo, interior sections two, so
+    at most two distinct program shapes compile.
+    """
+    k = int(n_sections)
+    assert k >= 1 and halo % 64 == 0, (k, halo)
+    mult = 64 * k
+    ha = -(-h // mult) * mult
+    band = ha // k
+    plan = []
+    for i in range(k):
+        a = max(0, i * band - halo)
+        b = min(ha, (i + 1) * band + halo)
+        plan.append((a, b, i * band - a))
+    return ha, band, plan
+
+
+def _pad_rows(x, target: int, axis: int):
+    """Dtype-preserving edge pad along ``axis`` (color may be integer)."""
+    if x.shape[axis] == target:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[axis] = (0, target - x.shape[axis])
+    return jnp.pad(x, cfg, mode="edge")
+
+
+def _row_slice(x, a: int, b: int, axis: int):
+    idx = [slice(None)] * x.ndim
+    idx[axis] = slice(a, b)
+    return x[tuple(idx)]
+
+
+def render_frame_sections(depth, camera=None, params=None,
+                          n_sections: int = 2, halo_rows: int | None = None,
+                          impl: str = "auto", normals=None, color=None,
+                          out_dtype: str = "float32"):
+    """Render one (..., H, W) frame as ``n_sections`` sequential launches.
+
+    Same contract as ``render_frame`` (minus ``debug_outputs``); the
+    result equals the monolithic program's output on the same inputs (see
+    module docstring).  Each section is a separate jitted launch whose
+    compiled program is cached by shape, so a stream of frames pays the
+    (at most two) section compiles once.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    if halo_rows is None:
+        halo_rows = stencil_halo_rows(params)
+    h0 = depth.shape[-2]
+    ha, band, plan = section_plan(h0, n_sections, halo_rows)
+
+    depth = _pad_rows(jnp.asarray(depth, jnp.float32), ha, axis=-2)
+    if normals is not None:
+        normals = _pad_rows(
+            normals_channel_last(jnp.asarray(normals, jnp.float32)),
+            ha, axis=-3)
+    if color is not None:
+        color = jnp.asarray(color)
+        color_rows = -3 if color.ndim == depth.ndim + 1 else -2
+        color = _pad_rows(color, ha, axis=color_rows)
+    out_rows = -3 if (color is not None and color_rows == -3) else -2
+
+    outs = []
+    for (a, b, off) in plan:
+        sec = render_frame(
+            _row_slice(depth, a, b, -2), camera, params,
+            normals=None if normals is None else _row_slice(normals, a, b,
+                                                            -3),
+            color=None if color is None else _row_slice(color, a, b,
+                                                        color_rows),
+            impl=impl, out_dtype=out_dtype)
+        outs.append(_row_slice(sec, off, off + band, out_rows))
+    out = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=out_rows)
+    return _row_slice(out, 0, h0, out_rows)

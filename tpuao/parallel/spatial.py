@@ -32,11 +32,35 @@ from tpuao.params import AOParams, CameraParams
 
 ROW_AXIS = "rows"
 
-# Halo rows exchanged with each neighbor: must be a multiple of 64 (keeps
-# every pyramid level's downsample grid aligned with the global frame) and
-# >= the pipeline's total stencil reach (render level 4: 16 slice texels *
-# 16 = 256 full-res rows; + upsample-chain filter reach ~48).
+# Halo rows exchanged with each neighbor at the default hierarchy_depth=4
+# (== stencil_halo_rows(AOParams()); kept as a named constant for tests and
+# capacity planning docs).  The actual halo is derived per-params below.
 HALO_ROWS = 320
+
+
+def stencil_halo_rows(params) -> int:
+    """Pipeline stencil reach in full-res rows, rounded up to 64.
+
+    Derived from ``params`` instead of a fixed constant (VERDICT r2 item 4:
+    a depth-2 preset should row-shard a 1080p frame 8-way instead of paying
+    the depth-4 halo).  Components, in full-res rows:
+
+    * render disc at the coarsest level d: max offset 4 slice texels *
+      stride 4 = 16 level-d texels = ``16 * 2^d`` rows;
+    * upsample chain (when blur is enabled): per step at level l, the 3x3
+      noise filter (1 lo texel) + the corner-aligned bilateral tap (1 lo
+      texel) reach 2 level-l texels = ``2 * 2^l`` rows, summed over the
+      chain l = 1..d.
+
+    The 64-multiple keeps every pyramid level's downsample grid and the
+    4x4 deinterleave parity aligned with the global frame (band starts stay
+    64-aligned).  d=4 gives 256 + 60 -> 320, the historical HALO_ROWS.
+    """
+    d = params.hierarchy_depth
+    reach = 16 * (1 << d)
+    if params.enable_blur:
+        reach += sum(2 * (1 << l) for l in range(1, d + 1))
+    return -(-reach // 64) * 64
 
 
 def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
@@ -126,7 +150,8 @@ def halo_extend_rows(d, halo: int, n: int, axis: int):
 
 def render_frame_spatial(depth, camera=None, params=None,
                          mesh: Mesh | None = None, impl: str = "jnp",
-                         halo_rows: int = HALO_ROWS, auto_pad: bool = True):
+                         halo_rows: int | None = None,
+                         auto_pad: bool = True):
     """Render one (H, W) frame sharded into row bands across ``mesh``.
 
     H must be divisible by 64 * mesh size; with ``auto_pad`` (default) a
@@ -137,12 +162,14 @@ def render_frame_spatial(depth, camera=None, params=None,
     convention; aligned frames pass through untouched.  Returns the
     full-res AO with the same row sharding (the crop keeps the row
     layout via a sharding constraint; the last band is simply shorter).
-    ``halo_rows`` below HALO_ROWS trades
-    band-boundary exactness for smaller exchanges (compile-validation
-    dryruns use 64).
+    ``halo_rows`` defaults to the derived stencil reach
+    (``stencil_halo_rows(params)``); smaller values trade band-boundary
+    exactness for smaller exchanges (compile-validation dryruns use 64).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
+    if halo_rows is None:
+        halo_rows = stencil_halo_rows(params)
     mesh = mesh or make_row_mesh()
     n = mesh.devices.size
     h, w = depth.shape

@@ -112,6 +112,87 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
     return float(np.median(samples))
 
 
+def host_chain_time_ms(fn, *args, iters: int | None = None,
+                       repeats: int = 3, return_min: bool = False,
+                       max_in_flight: int | None = None):
+    """Per-invocation time of a MULTI-LAUNCH host-driven program.
+
+    ``device_time_ms`` chains iterations inside one ``lax.fori_loop``,
+    which requires ``fn`` to be a single traceable program; the sections
+    mode (parallel/sections.py) is by design a sequence of separate XLA
+    launches.  Here the chain is driven from the host: iteration n+1
+    consumes a scalar perturbation of iteration n's output (so the device
+    must execute the launch sequences back to back), and the chain ends in
+    a scalar readback whose ``float()`` forces completion through the
+    relay.  Same two-point ``(t_N - t_1) / (N - 1)`` RTT cancellation and
+    min-of-two-t1 baseline as ``device_time_ms``; per-launch host dispatch
+    overhead is part of what this mode genuinely pays, so it is correctly
+    included.
+
+    ``max_in_flight`` bounds how far the host may run ahead of the device:
+    dispatch allocates each iteration's output buffers immediately, so an
+    unthrottled 8K chain queues gigabytes.  Every iteration records its
+    chain scalar; once ``max_in_flight`` iterations are queued the host
+    blocks on the scalar from that many iterations back -- the device
+    keeps ``max_in_flight`` iterations of queued work while the host waits
+    out the RTT, so the throttle adds no device idle unless the relay
+    spikes longer than the queued work.  Default scales with frame size
+    (smaller frames -> deeper queues).
+    """
+    x0 = jnp.asarray(args[0])
+    if max_in_flight is None:
+        frame_mb = x0.size * x0.dtype.itemsize / 1e6
+        # ~2 GB of in-flight iterations, each holding a few frame-sized
+        # buffers (outputs + concat + slices), capped to a sane range
+        max_in_flight = int(np.clip(2000 / (6 * max(frame_mb, 1e-3)),
+                                    4, 64))
+
+    def chain(n):
+        x = x0
+        out = None
+        pend = []
+        for i in range(n):
+            out = fn(x, *args[1:])
+            leaves = jax.tree_util.tree_leaves(out)
+            s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
+            x = x0 + s * jnp.float32(1e-20)
+            pend.append(s)
+            if len(pend) > max_in_flight:
+                float(pend.pop(0))
+        return float(pend[-1])
+
+    chain(1)  # warm all section compiles
+    if iters is None:
+        probe = 10
+        ests = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            chain(1)
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            chain(probe)
+            tp = time.perf_counter() - t0
+            ests.append((tp - t1) / (probe - 1) * 1e3)
+        est_ms = max(min(ests), 1e-3)
+        iters = int(np.clip(400.0 / est_ms, 20, 5000))
+    iters = max(int(iters), 2)
+    chain(iters)
+    samples = []
+    for _ in range(repeats):
+        t1 = min(_timed(chain, 1) for _ in range(2))
+        tn = _timed(chain, iters)
+        samples.append((tn - t1) / (iters - 1) * 1e3)
+    if return_min:
+        return float(np.median(samples)), float(np.min(samples))
+    return float(np.median(samples))
+
+
+def _timed(chain, n) -> float:
+    t0 = time.perf_counter()
+    chain(n)
+    return time.perf_counter() - t0
+
+
 def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
                    iters: int | None = None) -> dict[str, float]:
     """Per-stage wall-clock breakdown of the frame program (frame-debugger
