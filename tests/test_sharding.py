@@ -62,9 +62,25 @@ def test_mesh_subset(views):
     assert out.shape == (4, 64, 128)
 
 
-def test_uneven_views_rejected(views):
-    with pytest.raises(AssertionError):
-        render_views_sharded(views[:3], mesh=make_mesh(8), impl="jnp")
+def test_uneven_views_padded_and_cropped(views):
+    """9 views on an 8-device mesh (VERDICT r2 item 8): the batch is
+    padded to the mesh multiple by replicating the last view and the pad
+    views are dropped after the render, keeping the view sharding."""
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams()
+    nine = np.concatenate([views, views[:1]], axis=0)
+    out = render_views_sharded(nine, cam, par, mesh=make_mesh(8),
+                               impl="jnp")
+    assert out.shape == nine.shape
+    # (the RENDER ran sharded on the padded batch; the cropped uneven
+    # result itself may be replicated -- see render_views_sharded caveat)
+    single = np.stack(
+        [np.asarray(render_frame(v, cam, par, impl="jnp")) for v in nine])
+    np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
+    # 3 views on the 8-chip mesh also just works
+    out3 = render_views_sharded(views[:3], cam, par, mesh=make_mesh(8),
+                                impl="jnp")
+    np.testing.assert_allclose(np.asarray(out3), single[:3], atol=1e-6)
 
 
 def test_dryrun_multichip_entry():
@@ -117,7 +133,8 @@ def test_sharded_no_retrace_on_tunable_change():
     mesh = S.make_mesh(2)
     cam = CameraParams(depth_mode="linear")
     S.render_views_sharded(z, cam, AOParams(), mesh=mesh, impl="jnp")
-    jit_obj = S._sharded_jit(mesh, False, "jnp", 64 * 128)
+    jit_obj = S._sharded_jit(mesh, False, "jnp", 64 * 128, 0, "float32",
+                             False)
     n0 = jit_obj._cache_size()
     assert n0 >= 1
     for s in (1.5, 3.0):

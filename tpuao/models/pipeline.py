@@ -188,14 +188,21 @@ def _quantize(out, out_dtype: str):
     """Output-format conversion (the reference's R8 render-texture analog).
 
     ``"float32"`` passthrough; ``"bfloat16"`` halves output traffic;
-    ``"uint8"`` is the reference's R8 AO buffer: round(x * 255).  XLA fuses
-    the conversion into the producing kernel -- no extra pass.
+    ``"uint8"`` is the reference's R8 AO buffer: round(x * 255) for
+    normalized float inputs.  An already-integer input (a composite into
+    an integer color frame -- composite() returns the color's dtype) is
+    cast without re-scaling: its values are already display codes, and
+    re-applying the x*255 scale saturated every pixel to 255 (caught by
+    test_parallel_parity).  XLA fuses the conversion into the producing
+    kernel -- no extra pass.
     """
     if out_dtype == "float32":
         return out
     if out_dtype == "bfloat16":
         return out.astype(jnp.bfloat16)
     if out_dtype == "uint8":
+        if jnp.issubdtype(jnp.dtype(out.dtype), jnp.integer):
+            return jnp.clip(out, 0, 255).astype(jnp.uint8)
         return (jnp.clip(out, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)
     raise ValueError(f"unsupported out_dtype {out_dtype!r} "
                      "(float32 | bfloat16 | uint8)")

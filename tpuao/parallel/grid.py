@@ -52,7 +52,9 @@ def make_grid_mesh(n_views: int, n_bands: int, devices=None) -> Mesh:
 def render_views_spatial(depths, camera=None, params=None,
                          mesh: Mesh | None = None, impl: str = "jnp",
                          halo_rows: int | None = None,
-                         auto_pad: bool = True):
+                         auto_pad: bool = True, normals=None, color=None,
+                         out_dtype: str = "float32",
+                         debug_outputs: bool = False):
     """(V, H, W) depth batch -> (V, H, W) AO on a 2-D views x rows mesh.
 
     Constraints (same as the 1-D modes they compose): V divisible by the
@@ -63,6 +65,13 @@ def render_views_spatial(depths, camera=None, params=None,
     edge-replicated by ``halo_rows`` at top/bottom, so per view the result
     is bit-equal to the single-device pipeline on the halo-padded frame,
     cropped.
+
+    Full ``render_frame`` feature parity (VERDICT r2 item 3): ``normals``
+    (V, H, W, 3) shard and halo-exchange like depth; ``color``
+    (V, H, W[, C]) shards with no halo; ``out_dtype`` quantizes per chip;
+    ``debug_outputs=True`` additionally returns the debug dict with every
+    leaf (views, rows)-sharded and halo-cropped (padded height under
+    ``auto_pad``, as in the 1-D mode).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
@@ -75,11 +84,18 @@ def render_views_spatial(depths, camera=None, params=None,
     v, h, w = depths.shape
     halo = halo_rows
     if auto_pad and h % (64 * nr):
-        out = render_views_spatial(pad_rows_aligned(depths, nr, 1), camera,
-                                   params, mesh=mesh, impl=impl,
-                                   halo_rows=halo_rows, auto_pad=False)
-        return crop_rows_sharded(out, h, mesh,
-                                 P(VIEW_AXIS, ROW_AXIS, None), axis=1)
+        res = render_views_spatial(
+            pad_rows_aligned(depths, nr, 1), camera, params, mesh=mesh,
+            impl=impl, halo_rows=halo_rows, auto_pad=False,
+            normals=None if normals is None
+            else pad_rows_aligned(normals, nr, 1),
+            color=None if color is None else pad_rows_aligned(color, nr, 1),
+            out_dtype=out_dtype, debug_outputs=debug_outputs)
+        out, dbg = res if debug_outputs else (res, None)
+        spec = (P(VIEW_AXIS, ROW_AXIS, None, None) if out.ndim == 4
+                else P(VIEW_AXIS, ROW_AXIS, None))
+        out = crop_rows_sharded(out, h, mesh, spec, axis=1)
+        return (out, dbg) if debug_outputs else out
     assert v % nv == 0, f"views {v} not divisible by view mesh {nv}"
     assert halo % 64 == 0, halo
     assert h % (64 * nr) == 0, (
@@ -87,35 +103,79 @@ def render_views_spatial(depths, camera=None, params=None,
     assert h // nr >= halo, (
         f"band height {h // nr} < halo {halo}: use fewer row bands")
 
-    spec = NamedSharding(mesh, P(VIEW_AXIS, ROW_AXIS, None))
-    depths = jax.device_put(jnp.asarray(depths, jnp.float32), spec)
+    put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+    depths = put(jnp.asarray(depths, jnp.float32),
+                 P(VIEW_AXIS, ROW_AXIS, None))
+    if normals is not None:
+        from tpuao.ops.render import normals_channel_last
+
+        normals = put(normals_channel_last(jnp.asarray(normals,
+                                                       jnp.float32)),
+                      P(VIEW_AXIS, ROW_AXIS, None, None))
+    color_ndim = 0
+    if color is not None:
+        color = jnp.asarray(color)
+        color_ndim = color.ndim
+        color = put(color,
+                    P(VIEW_AXIS, ROW_AXIS, *([None] * (color_ndim - 2))))
     # camera/params as traced jit arguments -> repeat calls and tunable
     # changes reuse the cached compiled program (see sharding.py)
     local_px = (h // nr + 2 * halo) * w  # per-chip band working set
-    return _grid_jit(mesh, nr, halo, impl, local_px)(depths, camera, params)
+    return _grid_jit(mesh, nr, halo, impl, local_px, normals is not None,
+                     color_ndim, out_dtype, debug_outputs)(
+        depths, normals, color, camera, params)
 
 
 @functools.lru_cache(maxsize=None)
-def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int):
+def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int,
+              with_normals: bool = False, color_ndim: int = 0,
+              out_dtype: str = "float32", debug: bool = False):
+    from tpuao.models.pipeline import _quantize
+    from tpuao.ops import composite as C
+    from tpuao.parallel.spatial import crop_debug_rows
     from tpuao.utils.xla_opts import tpu_compiler_options
 
-    def per_chip(d, camera, params):  # (v/nv, h/nr, W)
+    def per_chip(d, nrm, col, camera, params):  # (v/nv, h/nr, W)
+        band = d.shape[1]
         # one block-wide halo exchange with the row neighbors (per local
         # view block, not per view: collectives don't scale with views)
         ext = halo_extend_rows(d, halo, nr, axis=1)
+        nrm_ext = (halo_extend_rows(nrm, halo, nr, axis=1)
+                   if nrm is not None else None)
 
-        def one(e):  # unbatched frame program per local view (see
+        def one(e, ne, ce):  # unbatched frame program per local view (see
             # sharding.py: measured faster than vmap batching on TPU)
-            ao = ao_pipeline(e, camera, params, None, impl=impl)[0]
-            return ao[halo: halo + d.shape[1], :]
+            ao_ext, dbg = ao_pipeline(e, camera, params, ne, impl=impl)
+            ao = ao_ext[halo: halo + band, :]
+            out = ao if ce is None else C.composite(ce, ao)
+            out = _quantize(out, out_dtype)
+            if debug:
+                return out, crop_debug_rows(dbg, halo, band)
+            return out
 
+        xs = (ext, nrm_ext, col)
+        present = [x for x in xs if x is not None]
         if ext.shape[0] == 1:
-            return one(ext[0])[None]
+            res = one(*(None if x is None else x[0] for x in xs))
+            return jax.tree_util.tree_map(lambda a: a[None], res)
         unroll = min(int(ext.shape[0]), 8)  # see sharding.py per_chip note
-        return lax.scan(lambda c, e: (c, one(e)), None, ext,
-                        unroll=unroll)[1]
 
+        def body(c, sl):
+            it = iter(sl)
+            args = [None if x is None else next(it) for x in xs]
+            return c, one(*args)
+
+        return lax.scan(body, None, tuple(present), unroll=unroll)[1]
+
+    spec_n = P(VIEW_AXIS, ROW_AXIS, None, None) if with_normals else P()
+    spec_c = (P(VIEW_AXIS, ROW_AXIS, *([None] * (color_ndim - 2)))
+              if color_ndim else P())
+    spec_out = (P(VIEW_AXIS, ROW_AXIS, None, None) if color_ndim == 4
+                else P(VIEW_AXIS, ROW_AXIS, None))
+    out_specs = ((spec_out, P(VIEW_AXIS, ROW_AXIS, None)) if debug
+                 else spec_out)
     fn = jax.shard_map(per_chip, mesh=mesh,
-                       in_specs=(P(VIEW_AXIS, ROW_AXIS, None), P(), P()),
-                       out_specs=P(VIEW_AXIS, ROW_AXIS, None))
+                       in_specs=(P(VIEW_AXIS, ROW_AXIS, None), spec_n,
+                                 spec_c, P(), P()),
+                       out_specs=out_specs)
     return jax.jit(fn, compiler_options=tpu_compiler_options(local_px))

@@ -35,6 +35,8 @@ whole-frame inspection artifact; use the monolithic path for it.
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 
 from tpuao.models.pipeline import render_frame
@@ -79,6 +81,88 @@ def _row_slice(x, a: int, b: int, axis: int):
     idx = [slice(None)] * x.ndim
     idx[axis] = slice(a, b)
     return x[tuple(idx)]
+
+
+def render_frame_sections_fused(depth, camera=None, params=None,
+                                n_sections: int = 2,
+                                halo_rows: int | None = None,
+                                impl: str = "auto"):
+    """The section decomposition as ONE jitted program (single launch).
+
+    Measured on the axon-relayed TPU, every extra program launch costs
+    ~6-10 ms of relay overhead (benchmarks/exp/sections_8k.py
+    ``methodology_delta_ms``), which buries the separate-launch mode's
+    per-section efficiency win at 8K scale.  This variant keeps the exact
+    same decomposition -- identical bounds, crops and monolithic-equality
+    argument as ``render_frame_sections`` -- but executes it inside one
+    XLA program: the two boundary sections run as one ``lax.map`` over a
+    2-stack, the k-2 interior sections as a second ``lax.map``, so the
+    compiler sizes buffers and fusions for a SECTION (the whole pipeline
+    is the band body; cross-stage fusion is intact inside each band --
+    this is NOT the stage-level in-program banding that lost 3-for-3,
+    docs/PERF.md '8K').
+
+    Depth-only (the timing-critical big-frame path); use
+    ``render_frame_sections`` for normals/color parity.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    if halo_rows is None:
+        halo_rows = stencil_halo_rows(params)
+    h0 = depth.shape[-2]
+    assert depth.ndim == 2, "fused sections take a single (H, W) frame"
+    k = int(n_sections)
+    ha, band, plan = section_plan(h0, k, halo_rows)
+    local_px = (band + 2 * halo_rows) * depth.shape[-1]
+    depth = jnp.asarray(depth, jnp.float32)
+    return _sections_fused_jit(k, ha, band, halo_rows, impl, local_px)(
+        depth, camera, params)[..., :h0, :]
+
+
+def sections_fused_fn(k: int, ha: int, band: int, halo: int, impl: str):
+    """The traceable fused-sections program (depth, camera, params) -> ao.
+
+    Separate from the jit wrapper so harnesses (device_time_ms, bench) can
+    compose it under their own top-level jit -- compiler_options are only
+    legal there.
+    """
+    from jax import lax
+
+    from tpuao.models.pipeline import ao_pipeline
+
+    _, _, plan = section_plan(ha, k, halo)
+
+    def fn(depth, camera, params):
+        depth = _pad_rows(depth, ha, axis=-2)
+
+        def body(sec):
+            return ao_pipeline(sec, camera, params, None, impl=impl)[0]
+
+        if k == 1:
+            return body(depth)
+        # boundary sections share one body shape: (band + halo, W)
+        (a0, b0, _), (an, bn, _) = plan[0], plan[-1]
+        bounds = lax.map(body, jnp.stack([depth[a0:b0], depth[an:bn]]))
+        top, bot = bounds[0, :band], bounds[1, halo: halo + band]
+        mids = []
+        if k > 2:
+            mid_in = jnp.stack([depth[a:b] for (a, b, _) in plan[1:-1]])
+            mid = lax.map(body, mid_in)  # (k-2, band + 2*halo, W)
+            mids = [mid[:, halo: halo + band].reshape(-1, mid.shape[-1])]
+        return jnp.concatenate([top] + mids + [bot], axis=-2)
+
+    return fn
+
+
+@functools.lru_cache(maxsize=None)
+def _sections_fused_jit(k: int, ha: int, band: int, halo: int, impl: str,
+                        local_px: int):
+    import jax
+
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    return jax.jit(sections_fused_fn(k, ha, band, halo, impl),
+                   compiler_options=tpu_compiler_options(local_px))
 
 
 def render_frame_sections(depth, camera=None, params=None,

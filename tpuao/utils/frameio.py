@@ -7,10 +7,12 @@ standalone framework ingests frames from disk.  Decode runs in
 work-stealing std::thread pool) with a pure-NumPy fallback so the package
 works without a toolchain.
 
-PFM (portable float map) is the interchange format: single-channel f32,
-lossless, trivially written by Blender/OpenCV/ImageMagick.  Rows in the
-file are bottom-up per the Netpbm spec; this module always presents
-row-major top-down ``(H, W) float32`` arrays.
+PFM (portable float map) is the interchange format: f32, lossless,
+trivially written by Blender/OpenCV/ImageMagick.  Grayscale ``Pf`` files
+carry depth; 3-channel ``PF`` files carry normals or color (the streaming
+normals/composite ingestion path).  Rows in the file are bottom-up per
+the Netpbm spec; this module always presents row-major top-down
+``(H, W[, 3]) float32`` arrays.
 
 ``FramePrefetcher`` overlaps disk decode with device compute: a background
 thread keeps ``depth`` batches one step ahead while the TPU renders the
@@ -29,27 +31,27 @@ import numpy as np
 
 from tpuao.utils import native as N
 
-_ERR = {-1: "cannot open", -2: "bad PFM header (grayscale 'Pf' required)",
+_ERR = {-1: "cannot open", -2: "bad PFM header ('Pf'/'PF' required)",
         -3: "frame size mismatch", -4: "truncated data", -5: "write failed"}
 
 
 def _bind(lib):
     if getattr(lib, "_fio_bound", False):
         return lib
-    lib.fio_load_pfm.argtypes = [
+    lib.fio_load_pfm2.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_int),
-        ctypes.POINTER(ctypes.c_int)]
-    lib.fio_load_pfm.restype = ctypes.c_int
-    lib.fio_save_pfm.argtypes = [
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.fio_load_pfm2.restype = ctypes.c_int
+    lib.fio_save_pfm2.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-        ctypes.c_int]
-    lib.fio_save_pfm.restype = ctypes.c_int
-    lib.fio_load_pfm_batch.argtypes = [
+        ctypes.c_int, ctypes.c_int]
+    lib.fio_save_pfm2.restype = ctypes.c_int
+    lib.fio_load_pfm_batch2.argtypes = [
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
-        ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
-    lib.fio_load_pfm_batch.restype = ctypes.c_int
+        ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+    lib.fio_load_pfm_batch2.restype = ctypes.c_int
     lib._fio_bound = True
     return lib
 
@@ -82,24 +84,31 @@ def _load_pfm_py(path: str) -> np.ndarray:
                 c = f.read(1)
             return t
 
-        if token() != b"Pf":
+        magic = token()
+        if magic == b"Pf":
+            ch = 1
+        elif magic == b"PF":
+            ch = 3
+        else:
             raise ValueError(f"{path}: {_ERR[-2]}")
         w, h = int(token()), int(token())
         scale = float(token())
         if w <= 0 or h <= 0 or scale == 0.0:
             raise ValueError(f"{path}: {_ERR[-2]}")
         dt = np.dtype("<f4" if scale < 0 else ">f4")
-        data = np.frombuffer(f.read(4 * h * w), dtype=dt)
-        if data.size != h * w:
+        data = np.frombuffer(f.read(4 * h * w * ch), dtype=dt)
+        if data.size != h * w * ch:
             raise ValueError(f"{path}: {_ERR[-4]}")
-        return data.reshape(h, w)[::-1].astype(np.float32)  # bottom-up
+        shape = (h, w) if ch == 1 else (h, w, 3)
+        return data.reshape(shape)[::-1].astype(np.float32)  # bottom-up
 
 
 def _save_pfm_py(path: str, arr: np.ndarray) -> None:
     arr = np.asarray(arr, dtype=np.float32)
-    h, w = arr.shape
+    magic = "Pf" if arr.ndim == 2 else "PF"
+    h, w = arr.shape[:2]
     with open(path, "wb") as f:
-        f.write(f"Pf\n{w} {h}\n-1.0\n".encode())
+        f.write(f"{magic}\n{w} {h}\n-1.0\n".encode())
         f.write(arr[::-1].astype("<f4").tobytes())
 
 
@@ -109,37 +118,42 @@ def _save_pfm_py(path: str, arr: np.ndarray) -> None:
 
 
 def load_pfm(path: str) -> np.ndarray:
-    """One grayscale PFM -> (H, W) float32, top-down."""
+    """One PFM -> (H, W) float32 ('Pf') or (H, W, 3) ('PF'), top-down."""
     lib = _lib()
     if lib is None:
         return _load_pfm_py(path)
     h = ctypes.c_int()
     w = ctypes.c_int()
-    rc = lib.fio_load_pfm(path.encode(), None, 0, 0,
-                          ctypes.byref(h), ctypes.byref(w))
+    c = ctypes.c_int()
+    rc = lib.fio_load_pfm2(path.encode(), None, 0, 0, 0,
+                           ctypes.byref(h), ctypes.byref(w),
+                           ctypes.byref(c))
     if rc != 0:
         raise ValueError(f"{path}: {_ERR.get(rc, rc)}")
-    out = np.empty((h.value, w.value), dtype=np.float32)
-    rc = lib.fio_load_pfm(path.encode(),
-                          out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                          h.value, w.value, None, None)
+    shape = (h.value, w.value) if c.value == 1 else (h.value, w.value, 3)
+    out = np.empty(shape, dtype=np.float32)
+    rc = lib.fio_load_pfm2(path.encode(),
+                           out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                           h.value, w.value, c.value, None, None, None)
     if rc != 0:
         raise ValueError(f"{path}: {_ERR.get(rc, rc)}")
     return out
 
 
 def save_pfm(path: str, arr) -> str:
-    """(H, W) float array -> grayscale little-endian PFM."""
+    """(H, W) or (H, W, 3) float array -> little-endian 'Pf'/'PF' PFM."""
     arr = np.ascontiguousarray(arr, dtype=np.float32)
-    if arr.ndim != 2:
-        raise ValueError(f"expected (H, W) depth frame, got {arr.shape}")
+    if not (arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] == 3)):
+        raise ValueError(
+            f"expected (H, W) or (H, W, 3) frame, got {arr.shape}")
     lib = _lib()
     if lib is None:
         _save_pfm_py(path, arr)
         return path
-    rc = lib.fio_save_pfm(path.encode(),
-                          arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-                          arr.shape[0], arr.shape[1])
+    ch = 1 if arr.ndim == 2 else 3
+    rc = lib.fio_save_pfm2(path.encode(),
+                           arr.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                           arr.shape[0], arr.shape[1], ch)
     if rc != 0:
         raise ValueError(f"{path}: {_ERR.get(rc, rc)}")
     return path
@@ -147,11 +161,12 @@ def save_pfm(path: str, arr) -> str:
 
 def load_pfm_batch(paths: Sequence[str], threads: int | None = None
                    ) -> np.ndarray:
-    """Same-size PFMs -> contiguous (N, H, W) float32, decoded in parallel.
+    """Same-size PFMs -> contiguous (N, H, W[, 3]) float32, decoded in
+    parallel.
 
-    All frames must match the first frame's dimensions (the multi-view /
-    video contract; a mismatch raises).  The native path releases the GIL
-    for the whole batch.
+    All frames must match the first frame's dimensions AND channel count
+    (the multi-view / video contract; a mismatch raises).  The native path
+    releases the GIL for the whole batch.
     """
     paths = list(paths)
     if not paths:
@@ -163,18 +178,19 @@ def load_pfm_batch(paths: Sequence[str], threads: int | None = None
             raise ValueError(_ERR[-3])
         return np.stack(frames)
     first = load_pfm(paths[0])
-    h, w = first.shape
-    out = np.empty((len(paths), h, w), dtype=np.float32)
+    h, w = first.shape[:2]
+    ch = 1 if first.ndim == 2 else 3
+    out = np.empty((len(paths),) + first.shape, dtype=np.float32)
     out[0] = first
     if len(paths) > 1:
         rest = [p.encode() for p in paths[1:]]
         arr = (ctypes.c_char_p * len(rest))(*rest)
         err = ctypes.c_int()
         nthreads = threads or min(len(rest), os.cpu_count() or 1)
-        rc = lib.fio_load_pfm_batch(
+        rc = lib.fio_load_pfm_batch2(
             arr, len(rest),
             out[1:].ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            h, w, nthreads, ctypes.byref(err))
+            h, w, ch, nthreads, ctypes.byref(err))
         if rc != 0:
             bad = paths[1:][rc - 1]
             raise ValueError(f"{bad}: {_ERR.get(err.value, err.value)}")
@@ -192,6 +208,14 @@ def _qput(q, stop, item) -> bool:
     return False
 
 
+def _decode_batch(paths, threads):
+    """One prefetch item: a path list -> (N, H, W[, 3]) array, or a tuple
+    of path lists (depth, normals[, color]) -> tuple of arrays."""
+    if isinstance(paths, tuple):
+        return tuple(load_pfm_batch(p, threads) for p in paths)
+    return load_pfm_batch(paths, threads)
+
+
 def _prefetch_worker(batches, q, stop, threads):
     # module-level on purpose: referencing the prefetcher from the thread
     # would keep it alive forever and defeat the GC finalizer
@@ -199,7 +223,7 @@ def _prefetch_worker(batches, q, stop, threads):
         for paths in batches:
             if stop.is_set():
                 return
-            if not _qput(q, stop, ("ok", load_pfm_batch(paths, threads))):
+            if not _qput(q, stop, ("ok", _decode_batch(paths, threads))):
                 return
     except Exception as e:  # surfaced on the consumer side
         _qput(q, stop, ("err", e))
@@ -224,6 +248,12 @@ class FramePrefetcher:
     data-loader side of a frames-in-flight pipeline (the device side is
     ``parallel/``'s batched programs).  ``depth=2`` keeps up to two decoded
     batches buffered.
+
+    A batch item may also be a TUPLE of path lists — e.g.
+    ``(depth_paths, normal_paths, color_paths)`` with the normals/color
+    stored as 3-channel 'PF' files — in which case the corresponding
+    tuple of arrays is yielded (the streaming normals + composite
+    pipeline; see ``examples/streaming.py``).
 
     Also a context manager: ``close()`` (or leaving the ``with`` block)
     stops the worker and drops buffered batches, so abandoning iteration

@@ -26,7 +26,7 @@ _lock = threading.Lock()
 _lib = None
 _tried = False
 
-ABI_VERSION = 2  # v2: frameio entry points (fio_*)
+ABI_VERSION = 3  # v3: 3-channel 'PF' codec (fio_*2 entry points)
 
 
 def _build() -> str | None:

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 
 def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
-                   return_min: bool = False):
+                   return_min: bool = False, pixels: int | None = None):
     """Median per-invocation device time of ``fn(*args)`` in milliseconds
     (``return_min=True`` -> ``(median, min)`` over the repeats).
 
@@ -61,11 +61,13 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
 
     # frame-size-aware compiler options (the scoped-VMEM optimum flips
     # for 8K-class frames): infer pixels from the first argument's
-    # trailing dims, which is the frame for every tpuao program
-    pixels = None
-    shape = getattr(args[0], "shape", ())
-    if len(shape) >= 2:
-        pixels = int(shape[-2]) * int(shape[-1])
+    # trailing dims, which is the frame for every tpuao program;
+    # ``pixels`` overrides (e.g. the fused-sections program wants the
+    # SECTION working set, not the whole frame)
+    if pixels is None:
+        shape = getattr(args[0], "shape", ())
+        if len(shape) >= 2:
+            pixels = int(shape[-2]) * int(shape[-1])
     compiled = jax.jit(chained, static_argnums=0,
                        compiler_options=tpu_compiler_options(pixels))
     float(compiled(1, *args))
@@ -156,6 +158,14 @@ def host_chain_time_ms(fn, *args, iters: int | None = None,
             leaves = jax.tree_util.tree_leaves(out)
             s = sum(jnp.sum(l.astype(jnp.float32)) for l in leaves)
             x = x0 + s * jnp.float32(1e-20)
+            try:  # start the tiny d->h transfer early: by the time the
+                # throttle pops this scalar it has long arrived, so the
+                # pop costs ~0 instead of a fresh relay round trip (a
+                # blocking per-iteration RTT starved the device: measured
+                # +19 ms/frame on the 8K monolithic cross-check)
+                s.copy_to_host_async()
+            except AttributeError:  # pragma: no cover - non-jax backends
+                pass
             pend.append(s)
             if len(pend) > max_in_flight:
                 float(pend.pop(0))
@@ -235,14 +245,31 @@ def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
             lambda x, s=spyr[l], l=l: R.render_ao_level(
                 x, l, wp, camera, params, slopes_ds=s),
             pyr[l], iters=iters)
-    rng = np.random.default_rng(0)
+    # chain steps are timed on the REAL chain inputs (render outputs /
+    # previous-step combined AO), not synthetic uniforms: the bilateral
+    # weights are data-dependent, so a random lo buffer measures a
+    # statistically different program (VERDICT r2 weak-item 7)
+    aos = {l: jnp.asarray(jax.jit(
+        lambda x, s=spyr[l], l=l: R.render_ao_level(
+            x, l, wp, camera, params, slopes_ds=s))(pyr[l]))
+        for l in range(1, d + 1)}
+    combined = aos[d]
     for l in range(d, 0, -1):
-        lo = jnp.asarray(rng.uniform(0.2, 0.8, pyr[l].shape), jnp.float32)
-        out[f"upsample_l{l}"] = device_time_ms(
-            lambda a, lo_d, hi_d, l=l: U.blur_upsample_step(
-                a, lo_d, hi_d, params, wp,
-                lo_ao2=a * 0.9 if l != d else None),
-            lo, pyr[l], pyr[l - 1], iters=iters)
+        if l != d:
+            out[f"upsample_l{l}"] = device_time_ms(
+                lambda a, lo_d, hi_d, lo2, l=l: U.blur_upsample_step(
+                    a, lo_d, hi_d, params, wp, lo_ao2=lo2),
+                combined, pyr[l], pyr[l - 1], aos[l], iters=iters)
+        else:
+            out[f"upsample_l{l}"] = device_time_ms(
+                lambda a, lo_d, hi_d, l=l: U.blur_upsample_step(
+                    a, lo_d, hi_d, params, wp),
+                combined, pyr[l], pyr[l - 1], iters=iters)
+        combined = jnp.asarray(jax.jit(
+            lambda a, lo_d, hi_d, lo2, l=l: U.blur_upsample_step(
+                a, lo_d, hi_d, params, wp, lo_ao2=lo2))(
+            combined, pyr[l], pyr[l - 1],
+            aos[l] if l != d else combined))
     out["full_pipeline"] = device_time_ms(
         lambda x: ao_pipeline(x, camera, params, normals, impl=impl)[0],
         depth, iters=iters)
