@@ -35,9 +35,12 @@ from tpuao.utils import roofline as RL
 
 def roofline(fn_jitted, measured_ms, h, w, *args, **traffic_kw):
     """Roofline floors for one config (VERDICT r1 item 6); flops from the
-    compiled executable's own cost analysis."""
-    flops, trans = RL.cost_counts(fn_jitted.lower(*args).compile())
-    return RL.floors_ms(measured_ms, h, w, flops, trans, **traffic_kw)
+    compiled executable's own cost analysis, attainable floor from its
+    scheduled relayout bytes (VERDICT r2 item 7)."""
+    compiled = fn_jitted.lower(*args).compile()
+    flops, trans = RL.cost_counts(compiled)
+    return RL.floors_ms(measured_ms, h, w, flops, trans,
+                        relayout=RL.relayout_bytes(compiled), **traffic_kw)
 
 # on-device chain length; default auto-calibrates to ~400 ms chains (the
 # relay's RTT jitter divides by the chain length -- see utils.profiling)
@@ -160,6 +163,26 @@ def main():
         ms=ms2, ms_min=mn2, mpix_s=(1920 * 1080 / 1e6) / (ms2 / 1e3),
         max_abs_err=err2, roofline=roofline(f2, ms2, 1080, 1920, zd))
 
+    # ---- standing impl regression rows (VERDICT r2 item 5): the
+    # "XLA beats Pallas" default is re-measured every bench run on the
+    # headline config so a JAX/libtpu upgrade flipping the ranking is
+    # caught, not assumed.  Cheap: config-2 inputs, short chains.
+    impl_ms = {"auto": round(ms2, 4)}
+    for variant in ("pallas", "fused"):
+        fv = jax.jit(lambda d, v=variant: ao_pipeline(
+            d, cam, p2, None, impl=v)[0])
+        impl_ms[variant] = round(device_time_ms(fv, zd, iters=REPS), 4)
+    fastest = min(impl_ms, key=impl_ms.get)
+    results["impl_compare_1080p_ms"] = impl_ms
+    results["fastest_impl"] = fastest
+    if fastest != "auto" and impl_ms[fastest] < 0.9 * impl_ms["auto"]:
+        import sys
+
+        print(f"NOTE: impl={fastest} beats auto by >10% "
+              f"({impl_ms[fastest]} vs {impl_ms['auto']} ms) -- the "
+              "default ranking has flipped; re-evaluate impl='auto'",
+              file=sys.stderr)
+
     # ---- config 3: 1080p + normals + tunable sweep ------------------------
     z, n = scene(1080, 1920, with_normals=True)
     zd = jax.device_put(jnp.asarray(z, jnp.float32))
@@ -192,6 +215,20 @@ def main():
         sweep_settings=len(sweep),
         sweep_retraces=traces - 1,
         sweep_ms=[round(v, 4) for v in sweep_ms])
+
+    # ---- config 3b: 4K + normals (VERDICT r2 item 9: record the normals
+    # path's scaling before anyone deploys it at 4K) ------------------------
+    z4n, n4 = scene(2160, 3840, with_normals=True)
+    zd4n = jax.device_put(jnp.asarray(z4n, jnp.float32))
+    nd4 = jax.device_put(jnp.asarray(n4, jnp.float32))
+    ms3b, mn3b, ao3b = time_ms(f3, zd4n, nd4, p3)
+    err3b = None if FAST else golden_err(ao3b, z4n, p3, normals=n4)
+    results["configs"]["3b_4k_normals"] = dict(
+        ms=ms3b, ms_min=mn3b, mpix_s=(3840 * 2160 / 1e6) / (ms3b / 1e3),
+        max_abs_err=err3b,
+        roofline=roofline(f3, ms3b, 2160, 3840, zd4n, nd4, p3,
+                          use_normals=True))
+    del zd4n, nd4, ao3b
 
     # ---- config 4: 4K single camera ---------------------------------------
     z4 = scene(2160, 3840)

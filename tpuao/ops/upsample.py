@@ -163,7 +163,7 @@ def bilateral_upsample2x(lo_ao, lo_d, hi_d, k_blur, k_up):
 
 
 def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up,
-                              crop_hw=None):
+                              crop_hw=None, hi_planes=None):
     """Parity-plane bilateral 2x from edge-extended (lh+1, lw+1) fields.
 
     Same math as ``bilateral_upsample2x`` but taps are plain slices of the
@@ -176,6 +176,12 @@ def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up,
     (out[2i+p, 2j+q] = plane[i, j]), but the final full-res copy
     disappears and XLA's fusions skip computing the pad region entirely
     (~0.3 ms of relayout at 8K).  Odd dims fall back to post-crop.
+
+    ``hi_planes``: optional precomputed parity planes of ``hi_d`` in
+    (p, q) order — ``hi_d[p::2, q::2]`` each — hoisting the per-step
+    strided slicing into prepare (the plane-resident depth-pyramid
+    experiment, VERDICT r2 next-item 2).  Values are identical by
+    construction; only the slicing site moves.
     """
     lh, lw = hi_d.shape[-2], hi_d.shape[-1]
     lh, lw = lh // 2, lw // 2
@@ -188,9 +194,10 @@ def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up,
             for dr in (0, 1) for dc in (0, 1)}
     planes = []
     for p in (0, 1):
-        hd_rows = hi_d[..., p::2, :]
+        hd_rows = None if hi_planes is not None else hi_d[..., p::2, :]
         for q in (0, 1):
-            hd = hd_rows[..., :, q::2]
+            hd = (hi_planes[2 * p + q] if hi_planes is not None
+                  else hd_rows[..., :, q::2])
             acc = jnp.zeros_like(hd)
             wacc = jnp.zeros_like(hd)
             for dr in (0, 1):
@@ -221,7 +228,8 @@ BAND_ROWS = 512
 
 
 def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
-                       lo_ao2=None, hi_ao_blend=None, crop_hw=None):
+                       lo_ao2=None, hi_ao_blend=None, crop_hw=None,
+                       hi_planes=None):
     """One chain step: [pre-min] -> noise filter -> bilateral 2x [-> blend].
 
     The 4 reference upsample kernel variants are selected by the optional
@@ -231,6 +239,8 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     crops the result (in plane space when even -- see
     ``_bilateral_upsample2x_ext``); the pipeline passes it on the final
     step so the padded rows/cols are never interleaved at all.
+    ``hi_planes`` feeds precomputed hi-depth parity planes (see
+    ``_bilateral_upsample2x_ext``).
     """
     if lo_ao2 is not None:
         lo_ao = jnp.minimum(lo_ao, lo_ao2)
@@ -241,7 +251,8 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
     dp = jnp.pad(lo_d.astype(jnp.float32), pad, mode="edge")
     filtered = noise_filter(ap, dp, nfs)
     up = _bilateral_upsample2x_ext(filtered, dp, hi_d.astype(jnp.float32),
-                                   k_blur, k_up, crop_hw=crop_hw)
+                                   k_blur, k_up, crop_hw=crop_hw,
+                                   hi_planes=hi_planes)
     if hi_ao_blend is not None:
         if crop_hw is not None:
             hi_ao_blend = hi_ao_blend[..., : crop_hw[0], : crop_hw[1]]
