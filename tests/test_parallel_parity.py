@@ -146,6 +146,42 @@ def test_views_sharded_color_dtype_debug():
                                        atol=1e-6, err_msg=str(path))
 
 
+def test_views_sharded_scan_with_color():
+    """>1 view per chip (the lax.scan path) with a color composite but no
+    normals — exercises the scan body's positional arg threading."""
+    v, h, w = 4, 64, 128
+    zs = np.stack([_scene(h, w, 80 + i)[0] for i in range(v)])
+    rng = np.random.default_rng(8)
+    color = rng.uniform(0.0, 1.0, size=(v, h, w)).astype(np.float32)
+    par = AOParams(hierarchy_depth=2)
+    out = render_views_sharded(zs, CAM, par, mesh=make_mesh(2), impl="jnp",
+                               color=color)
+    assert out.shape == (v, h, w)
+    for i in range(v):
+        ref_ao = np.asarray(render_frame(zs[i], CAM, par, impl="jnp"))
+        np.testing.assert_allclose(np.asarray(out[i]), color[i] * ref_ao,
+                                   atol=1e-6)
+
+
+def test_grid_scan_with_normals_and_color():
+    """2 views on a 1-view x 2-band grid: local view block of 2 runs the
+    scan with normals AND color present."""
+    v, h, w = 2, 256, 128
+    zs, ns = zip(*[_scene(h, w, 85 + i) for i in range(v)])
+    zs, ns = np.stack(zs), np.stack(ns)
+    rng = np.random.default_rng(9)
+    color = rng.uniform(0.0, 1.0, size=(v, h, w)).astype(np.float32)
+    out = render_views_spatial(zs, CAM, PAR2, mesh=make_grid_mesh(1, 2),
+                               normals=ns, color=color)
+    assert out.shape == (v, h, w)
+    for i in range(v):
+        ref_ao = np.asarray(render_frame(
+            _pad_rows(zs[i], HALO2), CAM, PAR2,
+            normals=_pad_rows(ns[i], HALO2), impl="jnp"))[HALO2: HALO2 + h]
+        np.testing.assert_allclose(np.asarray(out[i]), color[i] * ref_ao,
+                                   atol=1e-6)
+
+
 @pytest.mark.slow
 def test_spatial_realistic_1080p_geometry():
     """Real 1080p geometry (1088x1920, auto-padded to 1280 on 4 bands):
