@@ -167,8 +167,10 @@ def main():
     # "XLA beats Pallas" default is re-measured every bench run on the
     # headline config so a JAX/libtpu upgrade flipping the ranking is
     # caught, not assumed.  Cheap: config-2 inputs, short chains.
-    impl_ms = {"auto": round(ms2, 4)}
-    for variant in ("pallas", "fused"):
+    impl_ms = {impl: round(ms2, 4)}
+    for variant in ("auto", "pallas", "fused"):
+        if variant in impl_ms:
+            continue
         fv = jax.jit(lambda d, v=variant: ao_pipeline(
             d, cam, p2, None, impl=v)[0])
         impl_ms[variant] = round(device_time_ms(fv, zd, iters=REPS), 4)

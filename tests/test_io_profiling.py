@@ -35,6 +35,20 @@ def test_device_time_ms_smoke():
     assert np.isfinite(ms)
 
 
+def test_host_chain_time_ms_smoke():
+    """Multi-launch host-driven chain: two jitted launches per iteration
+    (the sections-mode timing path) must produce a finite estimate."""
+    import jax
+
+    from tpuao.utils.profiling import host_chain_time_ms
+
+    f1 = jax.jit(lambda a: a * 2.0)
+    f2 = jax.jit(lambda a: a + 1.0)
+    x = jnp.ones((64, 128), jnp.float32)
+    ms = host_chain_time_ms(lambda a: f2(f1(a)), x, iters=3, repeats=1)
+    assert np.isfinite(ms)
+
+
 def test_stage_times_covers_all_stages():
     from tpuao.params import AOParams, CameraParams
     from tpuao.utils.fixtures import spheres_on_plane
@@ -79,6 +93,24 @@ def test_streaming_script(tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     assert (tmp_path / "ao_last.png").exists()
     assert "4 frames" in r.stdout
+
+
+def test_streaming_script_normals(tmp_path):
+    """--normals mode: PF normals + color triples through the prefetcher
+    into the normal-weighted estimator + on-device composite."""
+    import subprocess
+    import sys
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/streaming.py", "96x128", "2",
+         str(tmp_path), "--normals"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "ao_last.png").exists()
+    assert "depth+normals+composite" in r.stdout
 
 
 def test_calibrate_script():

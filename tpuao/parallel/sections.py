@@ -1,12 +1,21 @@
-"""Single-chip sequential section execution for huge frames (>4K).
+"""Single-chip sequential section execution for huge frames.
 
-VERDICT r2 next-item 1: on one chip, a >16 Mpix frame runs the monolithic
-pipeline at a worse roofline fraction than 4K-class frames (buffer-size
-efficiency slope, docs/PERF.md '8K').  This mode cuts the frame into ``k``
-halo-overlapped row sections executed as SEPARATE program launches -- each
-section program keeps the monolithic pipeline's full cross-stage fusion
-(this is NOT in-program banding, the measured 3-for-3 dead end) while
-sitting in the smaller-frame efficiency regime.
+The frame is cut into ``k`` halo-overlapped row sections, each run
+through the complete pipeline (as separate launches, or as one program
+in the ``_fused`` variant), and the crops stitched back -- bounding peak
+HBM at roughly one section instead of one frame while producing the
+monolithic program's exact output.
+
+PERF STATUS (measured, docs/PERF.md "Sequential sections", r3): this is
+a MEMORY tool, not a speed tool.  On one v5e chip the monolithic 8K
+program is faster than any section count in either execution form
+(8.11 ms vs 10.25+ fused / 40+ separate-launch on the axon relay, which
+charges ~3.3 ms per extra program launch).  The r2 hypothesis that
+sections would recover the 4K-class efficiency regime was falsified:
+full-width row sections run at or below whole-frame per-pixel rates.
+Use the monolithic path for speed, this mode when a frame (plus temps)
+must not be resident at once; it also validated the spatial mode's
+band+halo semantics bit-exactly on real TPU hardware.
 
 Unlike ``parallel/spatial.py`` (whose bands edge-replicate a halo at the
 frame top/bottom, making the result equal to the HALO-padded-frame
