@@ -103,13 +103,13 @@ def stray_processes() -> list[str]:
     return found
 
 
-def time_ms(fn, *args, reps=REPS):
+def time_ms(fn, *args, reps=REPS, use_normals=False):
     """Per-frame device time via on-device chaining (see utils.profiling:
     block_until_ready does not sync through the axon relay) + one real
     output for the accuracy check.  Returns (median_ms, min_ms, result)
     over >=3 measurement repeats (VERDICT r1 item 7)."""
     med, mn = device_time_ms(fn, *args, iters=reps, repeats=5,
-                             return_min=True)
+                             return_min=True, use_normals=use_normals)
     return med, mn, fn(*args)
 
 
@@ -191,7 +191,7 @@ def main():
     nd = jax.device_put(jnp.asarray(n, jnp.float32))
     p3 = AOParams(use_normals=True)
     f3 = jax.jit(lambda d, nn, pp: ao_pipeline(d, cam, pp, nn, impl=impl)[0])
-    ms3, mn3, ao = time_ms(f3, zd, nd, p3)
+    ms3, mn3, ao = time_ms(f3, zd, nd, p3, use_normals=True)
     err3 = golden_err(ao, z, p3, normals=n)
     # tunable sweep contract: varied params reuse the same compiled program
     traces = 0
@@ -207,7 +207,8 @@ def main():
                              (4.0, 9.0, -1.5))]
     # ... and the swept settings are *timed*, not just run (VERDICT r1
     # item 7/8): same compiled program, so only the chain runs again.
-    sweep_ms = [device_time_ms(fc, zd, nd, pp, iters=REPS)
+    sweep_ms = [device_time_ms(fc, zd, nd, pp, iters=REPS,
+                               use_normals=True)
                 for pp in sweep]
     results["configs"]["3_1080p_normals_sweep"] = dict(
         ms=ms3, ms_min=mn3, mpix_s=(1920 * 1080 / 1e6) / (ms3 / 1e3),
@@ -223,7 +224,7 @@ def main():
     z4n, n4 = scene(2160, 3840, with_normals=True)
     zd4n = jax.device_put(jnp.asarray(z4n, jnp.float32))
     nd4 = jax.device_put(jnp.asarray(n4, jnp.float32))
-    ms3b, mn3b, ao3b = time_ms(f3, zd4n, nd4, p3)
+    ms3b, mn3b, ao3b = time_ms(f3, zd4n, nd4, p3, use_normals=True)
     err3b = None if FAST else golden_err(ao3b, z4n, p3, normals=n4)
     results["configs"]["3b_4k_normals"] = dict(
         ms=ms3b, ms_min=mn3b, mpix_s=(3840 * 2160 / 1e6) / (ms3b / 1e3),
@@ -284,7 +285,8 @@ def main():
     for name, pp in PRESETS.items():
         fq = jax.jit(lambda d, nn, pp=pp: ao_pipeline(
             d, cam, pp, nn if pp.use_normals else None, impl=impl)[0])
-        ladder[name] = round(device_time_ms(fq, zd, nd, iters=REPS), 4)
+        ladder[name] = round(device_time_ms(fq, zd, nd, iters=REPS,
+                                            use_normals=pp.use_normals), 4)
     results["quality_ladder_1080p_ms"] = ladder
 
     with open("BENCH_DETAIL.json", "w") as f:

@@ -229,21 +229,20 @@ def _render_frame_impl(depth, camera, params, normals, color,
     return out
 
 
-from tpuao.utils.xla_opts import (  # noqa: E402
-    BIG_FRAME_PIXELS,
-    tpu_compiler_options,
-)
+from tpuao.utils.xla_opts import scoped_vmem_kib  # noqa: E402
 
 
 @functools.lru_cache(maxsize=None)
-def _render_frame_jit_for_backend(backend: str, big_frame: bool):
+def _render_frame_jit_for_backend(backend: str, kib: int):
     # the optimal scoped-VMEM budget flips between frame-size classes
-    # (see tpu_compiler_options), so big frames get their own jit wrapper
-    pixels = (BIG_FRAME_PIXELS + 1) if big_frame else 1
+    # and with the normals planes (see scoped_vmem_kib), so each budget
+    # gets its own jit wrapper (kib == 0 -> no options, non-TPU backend)
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(kib)}
+            if backend == "tpu" and kib else None)
     return jax.jit(
         _render_frame_impl,
         static_argnames=("debug_outputs", "impl", "out_dtype"),
-        compiler_options=tpu_compiler_options(pixels),
+        compiler_options=opts,
     )
 
 
@@ -251,8 +250,11 @@ def _render_frame_jit(depth, camera, params, normals, color,
                       debug_outputs: bool, impl: str,
                       out_dtype: str = "float32"):
     h, w = depth.shape[-2:]
-    fn = _render_frame_jit_for_backend(jax.default_backend(),
-                                       h * w > BIG_FRAME_PIXELS)
+    backend = jax.default_backend()
+    kib = (scoped_vmem_kib(h * w, normals is not None
+                           and params.use_normals)
+           if backend == "tpu" else 0)
+    fn = _render_frame_jit_for_backend(backend, kib)
     return fn(depth, camera, params, normals, color,
               debug_outputs=debug_outputs, impl=impl, out_dtype=out_dtype)
 

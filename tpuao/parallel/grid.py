@@ -178,4 +178,5 @@ def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int,
                        in_specs=(P(VIEW_AXIS, ROW_AXIS, None), spec_n,
                                  spec_c, P(), P()),
                        out_specs=out_specs)
-    return jax.jit(fn, compiler_options=tpu_compiler_options(local_px))
+    return jax.jit(fn, compiler_options=tpu_compiler_options(local_px,
+                                                             with_normals))

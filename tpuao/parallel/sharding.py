@@ -194,7 +194,8 @@ def _sharded_jit(mesh: Mesh, with_normals: bool, impl: str, local_px: int,
 
     return jax.jit(_sharded_views_args_fn(mesh, with_normals, impl,
                                           color_ndim, out_dtype, debug),
-                   compiler_options=tpu_compiler_options(local_px))
+                   compiler_options=tpu_compiler_options(local_px,
+                                                         with_normals))
 
 
 def sharded_views_fn(camera, params, mesh: Mesh, with_normals: bool = False,

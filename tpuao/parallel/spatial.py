@@ -276,4 +276,5 @@ def _spatial_jit(mesh: Mesh, n: int, halo: int, impl: str, local_px: int,
                        out_specs=out_specs)
     # scoped-VMEM budget by the PER-CHIP working set (band + halos) --
     # that's the frame size each chip's program actually sees
-    return jax.jit(fn, compiler_options=tpu_compiler_options(local_px))
+    return jax.jit(fn, compiler_options=tpu_compiler_options(local_px,
+                                                             with_normals))

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 
 
 def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
-                   return_min: bool = False, pixels: int | None = None):
+                   return_min: bool = False, pixels: int | None = None,
+                   use_normals: bool = False):
     """Median per-invocation device time of ``fn(*args)`` in milliseconds
     (``return_min=True`` -> ``(median, min)`` over the repeats).
 
@@ -69,7 +70,8 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
         if len(shape) >= 2:
             pixels = int(shape[-2]) * int(shape[-1])
     compiled = jax.jit(chained, static_argnums=0,
-                       compiler_options=tpu_compiler_options(pixels))
+                       compiler_options=tpu_compiler_options(pixels,
+                                                             use_normals))
     float(compiled(1, *args))
     if iters is None:
         # Two-point probes so the relay RTT cancels out of the estimate.
