@@ -20,7 +20,7 @@ from tpuao.params import AOParams, CameraParams
 from tpuao.utils import fixtures as F
 from tpuao.utils.profiling import device_time_ms
 
-RES = {"1080p": (1080, 1920), "4k": (2160, 3840)}
+RES = {"1080p": (1080, 1920), "4k": (2160, 3840), "8k": (4320, 7680)}
 
 
 def main():

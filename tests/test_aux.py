@@ -73,10 +73,10 @@ def test_compiler_options_size_classes(monkeypatch):
         "xla_tpu_scoped_vmem_limit_kib"] == "49152"
     assert X.tpu_compiler_options(4352 * 7680)[  # 8K: big class
         "xla_tpu_scoped_vmem_limit_kib"] == "20480"
-    # normals shift the >4 Mpix optimum down one notch (r3 sweep) ...
+    # normals shift every >4 Mpix class down one notch (r3 sweeps) ...
     assert X.scoped_vmem_kib(2176 * 3840, use_normals=True) == 32768
-    # ... but not 1080p-class frames, and never the 8K class
+    assert X.scoped_vmem_kib(4352 * 7680, use_normals=True) == 16384
+    # ... but not 1080p-class frames
     assert X.scoped_vmem_kib(1088 * 1920, use_normals=True) == 49152
-    assert X.scoped_vmem_kib(4352 * 7680, use_normals=True) == 20480
     monkeypatch.setattr(X.jax, "default_backend", lambda: "cpu")
     assert X.tpu_compiler_options(4352 * 7680) is None

@@ -246,7 +246,7 @@ def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
         out[f"render_l{l}"] = device_time_ms(
             lambda x, s=spyr[l], l=l: R.render_ao_level(
                 x, l, wp, camera, params, slopes_ds=s),
-            pyr[l], iters=iters)
+            pyr[l], iters=iters, use_normals=use_n)
     # chain steps are timed on the REAL chain inputs (render outputs /
     # previous-step combined AO), not synthetic uniforms: the bilateral
     # weights are data-dependent, so a random lo buffer measures a
@@ -274,5 +274,5 @@ def stage_times_ms(depth, camera, params, normals=None, impl: str = "jnp",
             aos[l] if l != d else combined))
     out["full_pipeline"] = device_time_ms(
         lambda x: ao_pipeline(x, camera, params, normals, impl=impl)[0],
-        depth, iters=iters)
+        depth, iters=iters, use_normals=use_n)
     return out

@@ -32,10 +32,13 @@ def scoped_vmem_kib(pixels: int | None = None,
       full-res slope planes raise the per-pixel live set, shifting the
       optimum down one notch (r3 sweep, exp/vmem_normals.py: 4K+normals
       32 MiB 2.86 / 28 2.99 / 36 2.95 / 48 3.08 / 64 3.20 / 96+ blows
-      up; 1080p+normals still prefers 48: 0.517 vs 0.555 at 32).
+      up; 1080p+normals still prefers 48: 0.517 vs 0.555 at 32).  The
+      same shift applies in the big-frame class: 8K+normals prefers
+      16 MiB (21.96) over the depth-only 20 MiB (23.16); 24/32/48 all
+      worse.
     """
     if pixels is not None and pixels > BIG_FRAME_PIXELS:
-        return 20480
+        return 16384 if use_normals else 20480
     if use_normals and pixels is not None and pixels > NORMALS_MID_PIXELS:
         return 32768
     return 49152
