@@ -3,7 +3,12 @@ size classes in utils/xla_opts.py was depth-only; the normals program
 carries two extra full-res planes through the render fusions, so its
 optimum may differ).
 
-Usage: python benchmarks/exp/vmem_normals.py [1080p|4k ...]
+Usage: VMEM_KIBS=16384,20480,32768 python benchmarks/exp/vmem_normals.py
+       [1080p|4k|8k ...]
+
+VMEM_KIBS picks the budgets (KiB); the default list covers the small-
+frame candidates — for 8k pass the 16-24 MiB region explicitly (the
+measured 8K+normals optimum is 16 MiB, see utils/xla_opts.py).
 """
 
 import os

@@ -104,6 +104,25 @@ def test_sections_fused_matches_monolithic():
     np.testing.assert_allclose(got2, want2, atol=2e-6)
 
 
+def test_derived_halo_sufficient_at_every_depth():
+    """Sections-vs-monolithic equality IS an empirical stencil-reach
+    test: if stencil_halo_rows under-estimated the reach for some
+    hierarchy_depth, the crop would keep rows computed from truncated
+    neighborhoods and the outputs would diverge."""
+    w = 128
+    for d, blur in ((1, True), (3, True), (4, False)):
+        par = AOParams(hierarchy_depth=d, enable_blur=blur)
+        halo = stencil_halo_rows(par)
+        h = max(4 * 64, 2 * halo)  # 2 sections, each at least one halo
+        z = F.spheres_on_plane(h, w, n_spheres=4, seed=10 + d
+                               ).astype(np.float32)
+        want = np.asarray(render_frame(z, CAM, par, impl="jnp"))
+        got = np.asarray(render_frame_sections(z, CAM, par, n_sections=2,
+                                               impl="jnp"))
+        np.testing.assert_allclose(got, want, atol=2e-6,
+                                   err_msg=f"depth={d} blur={blur}")
+
+
 def test_sections_single_is_monolithic():
     h, w = 256, 128
     z = F.spheres_on_plane(h, w, n_spheres=3, seed=9).astype(np.float32)
