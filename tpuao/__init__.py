@@ -23,7 +23,7 @@ from tpuao.params import (  # noqa: F401
     build_pair_table,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 
 def render_frame(depth, camera=None, params=None, normals=None, color=None,

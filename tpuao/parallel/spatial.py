@@ -105,13 +105,19 @@ def _crop_jit(h: int, axis: int, sharding):
 
 
 def crop_rows_sharded(out, h: int, mesh: Mesh, spec, axis: int = 0):
-    """Crop a row-sharded result back to ``h`` rows WITHOUT collapsing its
-    sharding: a plain ``out[:h]`` outside jit gathers the array replicated
-    onto every device (measured: PartitionSpec() on the result), defeating
-    the point of sharding a frame too large for one chip.  Cropping under
-    jit with an explicit sharding constraint keeps the row layout (the
-    last band is simply shorter).  The jitted crop is cached per
-    (h, axis, sharding) so streaming misaligned frames compiles once."""
+    """Crop a sharded result back to ``h`` along ``axis`` without
+    collapsing its sharding where JAX can express it: a plain ``out[:h]``
+    outside jit gathers the array replicated onto every device (measured:
+    PartitionSpec() on the result), defeating the point of sharding a
+    frame too large for one chip.  Cropping under jit with an explicit
+    sharding constraint keeps the layout WHEN ``h`` divides the mesh
+    size evenly (every standard resolution on power-of-2 meshes: 1080/
+    2160/4320 rows on 2..8 chips).  A non-divisible ``h`` still returns
+    the correct value but replicated — JAX cannot express uneven or
+    empty shards (measured: 1001 rows on 4 devices -> PartitionSpec());
+    keep target heights at mesh multiples when the output must stay
+    distributed.  The jitted crop is cached per (h, axis, sharding) so
+    streaming misaligned frames compiles once."""
     if out.shape[axis] == h:
         return out
     return _crop_jit(h, axis, NamedSharding(mesh, spec))(out)
