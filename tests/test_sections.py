@@ -123,6 +123,23 @@ def test_derived_halo_sufficient_at_every_depth():
                                    err_msg=f"depth={d} blur={blur}")
 
 
+def test_sections_fused_rejects_clamped_plan():
+    """band < halo clamps the plan; the fused form's uniform-shape
+    stacks would keep the wrong crop rows (review r3), so it must refuse
+    -- while the separate-launch mode handles the same geometry exactly."""
+    from tpuao.parallel.sections import render_frame_sections_fused
+
+    z = F.spheres_on_plane(512, 128, n_spheres=3, seed=4
+                           ).astype(np.float32)
+    par = AOParams()  # halo 320 > band 256 at k=2
+    with pytest.raises(AssertionError, match="band"):
+        render_frame_sections_fused(z, CAM, par, n_sections=2, impl="jnp")
+    want = np.asarray(render_frame(z, CAM, par, impl="jnp"))
+    got = np.asarray(render_frame_sections(z, CAM, par, n_sections=2,
+                                           impl="jnp"))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_sections_single_is_monolithic():
     h, w = 256, 128
     z = F.spheres_on_plane(h, w, n_spheres=3, seed=9).astype(np.float32)

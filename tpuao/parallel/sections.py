@@ -51,7 +51,7 @@ import jax.numpy as jnp
 from tpuao.models.pipeline import render_frame
 from tpuao.ops.render import normals_channel_last
 from tpuao.params import AOParams, CameraParams
-from tpuao.parallel.spatial import stencil_halo_rows
+from tpuao.parallel.spatial import edge_pad_rows, stencil_halo_rows
 
 
 def section_plan(h: int, n_sections: int, halo: int):
@@ -75,15 +75,6 @@ def section_plan(h: int, n_sections: int, halo: int):
         b = min(ha, (i + 1) * band + halo)
         plan.append((a, b, i * band - a))
     return ha, band, plan
-
-
-def _pad_rows(x, target: int, axis: int):
-    """Dtype-preserving edge pad along ``axis`` (color may be integer)."""
-    if x.shape[axis] == target:
-        return x
-    cfg = [(0, 0)] * x.ndim
-    cfg[axis] = (0, target - x.shape[axis])
-    return jnp.pad(x, cfg, mode="edge")
 
 
 def _row_slice(x, a: int, b: int, axis: int):
@@ -122,6 +113,12 @@ def render_frame_sections_fused(depth, camera=None, params=None,
     assert depth.ndim == 2, "fused sections take a single (H, W) frame"
     k = int(n_sections)
     ha, band, plan = section_plan(h0, k, halo_rows)
+    # the uniform-shape lax.map stacks require unclamped section bounds;
+    # a clamped plan (band < halo) would silently keep the wrong crop
+    # rows (caught in review r3) -- the separate-launch mode handles it
+    assert k == 1 or band >= halo_rows, (
+        f"band {band} < halo {halo_rows}: too many sections for this "
+        f"frame height -- use fewer, or render_frame_sections")
     local_px = (band + 2 * halo_rows) * depth.shape[-1]
     depth = jnp.asarray(depth, jnp.float32)
     return _sections_fused_jit(k, ha, band, halo_rows, impl, local_px)(
@@ -139,10 +136,13 @@ def sections_fused_fn(k: int, ha: int, band: int, halo: int, impl: str):
 
     from tpuao.models.pipeline import ao_pipeline
 
+    assert k == 1 or band >= halo, (
+        f"band {band} < halo {halo}: clamped plans need the "
+        "separate-launch mode (see render_frame_sections_fused)")
     _, _, plan = section_plan(ha, k, halo)
 
     def fn(depth, camera, params):
-        depth = _pad_rows(depth, ha, axis=-2)
+        depth = edge_pad_rows(depth, ha, axis=-2)
 
         def body(sec):
             return ao_pipeline(sec, camera, params, None, impl=impl)[0]
@@ -193,15 +193,15 @@ def render_frame_sections(depth, camera=None, params=None,
     h0 = depth.shape[-2]
     ha, band, plan = section_plan(h0, n_sections, halo_rows)
 
-    depth = _pad_rows(jnp.asarray(depth, jnp.float32), ha, axis=-2)
+    depth = edge_pad_rows(jnp.asarray(depth, jnp.float32), ha, axis=-2)
     if normals is not None:
-        normals = _pad_rows(
+        normals = edge_pad_rows(
             normals_channel_last(jnp.asarray(normals, jnp.float32)),
             ha, axis=-3)
     if color is not None:
         color = jnp.asarray(color)
         color_rows = -3 if color.ndim == depth.ndim + 1 else -2
-        color = _pad_rows(color, ha, axis=color_rows)
+        color = edge_pad_rows(color, ha, axis=color_rows)
     out_rows = -3 if (color is not None and color_rows == -3) else -2
 
     outs = []

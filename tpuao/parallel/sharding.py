@@ -91,7 +91,10 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
     Full ``render_frame`` feature parity: ``color`` (V, H, W[, C]) shards
     over views (the composite is per-chip local); ``out_dtype`` quantizes
     per chip; ``debug_outputs=True`` additionally returns the debug dict,
-    every leaf view-sharded.
+    every leaf view-sharded.  Under the uneven-count pad, debug leaves
+    keep the PADDED view count (they are diagnostic buffers; only the
+    primary output is cropped -- same convention as the spatial/grid
+    modes' padded-height debug leaves).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
