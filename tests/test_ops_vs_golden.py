@@ -148,6 +148,22 @@ def test_blur_upsample_step_matches(rng):
     np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
 
 
+def test_blur_upsample_step_hi_planes_identical(rng):
+    """Feeding precomputed hi-depth parity planes must be bit-identical
+    to the in-step slicing (the plane-pyramid experiment's contract)."""
+    lo_d = rng.uniform(0.2, 0.8, size=(16, 24))
+    hi_d = rng.uniform(0.2, 0.8, size=(32, 48))
+    lo1 = rng.uniform(size=(16, 24))
+    par = AOParams()
+    args = (jnp.asarray(lo1, jnp.float32), jnp.asarray(lo_d, jnp.float32),
+            jnp.asarray(hi_d, jnp.float32), par, 192)
+    base = np.asarray(U.blur_upsample_step(*args))
+    hj = jnp.asarray(hi_d, jnp.float32)
+    planes = tuple(hj[p::2, :][:, q::2] for p in (0, 1) for q in (0, 1))
+    fed = np.asarray(U.blur_upsample_step(*args, hi_planes=planes))
+    np.testing.assert_array_equal(base, fed)
+
+
 def test_chain_step_banded_bit_exact(rng):
     """The unrolled row-band chain step (tested variant, not wired --
     see its docstring) is bit-equal to the whole-field form, including
