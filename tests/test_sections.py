@@ -140,6 +140,19 @@ def test_sections_fused_rejects_clamped_plan():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_sections_batched_inputs():
+    """Leading batch axes thread through the row slicing/stitching."""
+    b, h, w = 2, 512, 128
+    zs = np.stack([F.spheres_on_plane(h, w, n_spheres=3, seed=20 + i)
+                   for i in range(b)]).astype(np.float32)
+    par = AOParams(hierarchy_depth=2)
+    want = np.asarray(render_frame(zs, CAM, par, impl="jnp"))
+    got = np.asarray(render_frame_sections(zs, CAM, par, n_sections=2,
+                                           impl="jnp"))
+    assert got.shape == (b, h, w)
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 def test_sections_single_is_monolithic():
     h, w = 256, 128
     z = F.spheres_on_plane(h, w, n_spheres=3, seed=9).astype(np.float32)
