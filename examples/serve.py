@@ -1,0 +1,148 @@
+#!/usr/bin/env python
+"""Minimal AO serving endpoint: PFM depth in -> PFM (or PNG) AO out.
+
+    python examples/serve.py [port] [--config cfg.json]
+
+The deployment glue layer (SURVEY.md SS2 L4 analog for a service instead
+of a game engine): one warm `AmbientOcclusionEngine` per process; the
+compiled frame program is cached per input shape, and per-request
+tunables ride as traced scalars so they NEVER recompile.
+
+API (stdlib HTTP, threaded):
+
+  POST /ao            body = PFM ('Pf' depth; normals/color variants via
+                      multipart are left to real deployments)
+      ?strength=2.0&rejection_falloff=5.0&...   per-request tunables
+      ?out=pfm (default) | png | uint8-pfm-like octet payloads
+  GET  /config        the engine's current AOParams/CameraParams JSON
+  GET  /healthz       200 once the engine has compiled its first frame
+
+Example round-trip:
+
+    python - <<'PY'
+    import urllib.request
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+    from tpuao.utils import fixtures as F
+    z = F.spheres_on_plane(360, 640, n_spheres=5, seed=1)
+    req = urllib.request.Request(
+        "http://localhost:8080/ao?strength=2.0", data=dumps_pfm(z))
+    ao = loads_pfm(urllib.request.urlopen(req).read())
+    PY
+"""
+
+import json
+import os
+import sys
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qsl, urlparse
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+import numpy as np
+
+from tpuao.models.pipeline import AmbientOcclusionEngine
+from tpuao.params import PARAM_RANGES, CameraParams, params_to_dict
+from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+
+class AOHandler(BaseHTTPRequestHandler):
+    def log_message(self, fmt, *args):  # quiet by default
+        if self.server.verbose:
+            super().log_message(fmt, *args)
+
+    def _send(self, code, body, ctype="application/octet-stream"):
+        self.send_response(code)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        path = urlparse(self.path).path
+        if path == "/healthz":
+            self._send(200, b"ok", "text/plain")
+        elif path == "/config":
+            eng = self.server.engine
+            body = json.dumps({"ao": params_to_dict(eng.params),
+                               "camera": params_to_dict(eng.camera)},
+                              indent=2).encode()
+            self._send(200, body, "application/json")
+        else:
+            self._send(404, b"not found", "text/plain")
+
+    def do_POST(self):
+        url = urlparse(self.path)
+        if url.path != "/ao":
+            self._send(404, b"not found", "text/plain")
+            return
+        try:
+            n = int(self.headers.get("Content-Length", "0"))
+            depth = loads_pfm(self.rfile.read(n))
+            q = dict(parse_qsl(url.query))
+            out_fmt = q.pop("out", "pfm")
+            tunables = {k: float(v) for k, v in q.items()
+                        if k in PARAM_RANGES}
+            unknown = set(q) - set(tunables)
+            if unknown:
+                raise ValueError(f"unknown query params: {sorted(unknown)}")
+            eng = self.server.engine
+            with self.server.lock:
+                # traced scalars: swapping tunables per request reuses
+                # the cached compiled program (validated on set)
+                params = eng.params.replace(**tunables).validate() \
+                    if tunables else eng.params
+                from tpuao.models.pipeline import render_frame
+
+                ao = np.asarray(render_frame(depth, eng.camera, params,
+                                             impl=eng.impl))
+        except ValueError as e:
+            self._send(400, str(e).encode(), "text/plain")
+            return
+        if out_fmt == "png":
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.fromarray(
+                (np.clip(ao, 0, 1) * 255 + 0.5).astype(np.uint8)
+            ).save(buf, format="PNG")
+            self._send(200, buf.getvalue(), "image/png")
+        elif out_fmt == "pfm":
+            self._send(200, dumps_pfm(ao), "application/x-pfm")
+        else:
+            self._send(400, f"unknown out={out_fmt}".encode(), "text/plain")
+
+
+def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
+                verbose: bool = False) -> ThreadingHTTPServer:
+    """Build (not start) the server; ``port=0`` picks a free port."""
+    srv = ThreadingHTTPServer(("127.0.0.1", port), AOHandler)
+    srv.engine = engine or AmbientOcclusionEngine(
+        CameraParams(depth_mode="linear"))
+    srv.lock = threading.Lock()  # one frame in flight per process
+    srv.verbose = verbose
+    return srv
+
+
+def main(argv):
+    args = [a for a in argv[1:] if not a.startswith("--")]
+    port = int(args[0]) if args else 8080
+    eng = None
+    if "--config" in argv:
+        cfg = argv[argv.index("--config") + 1]
+        eng = AmbientOcclusionEngine.from_config(cfg)
+    srv = make_server(port, eng, verbose=True)
+    print(f"tpuao serving on http://127.0.0.1:{srv.server_address[1]} "
+          f"(POST /ao, GET /config)")
+    srv.serve_forever()
+
+
+if __name__ == "__main__":
+    main(sys.argv)

@@ -113,6 +113,59 @@ def test_streaming_script_normals(tmp_path):
     assert "depth+normals+composite" in r.stdout
 
 
+def test_serve_endpoint():
+    """In-process round-trip through the serving endpoint: PFM depth in,
+    PFM AO out; per-request tunables; config introspection."""
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    import serve as S
+
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+        cfg = __import__("json").loads(
+            urllib.request.urlopen(f"{base}/config").read())
+        assert cfg["ao"]["strength"] == 1.0
+
+        z = F.spheres_on_plane(96, 128, n_spheres=3, seed=2
+                               ).astype(np.float32)
+        req = urllib.request.Request(f"{base}/ao?strength=2.0",
+                                     data=dumps_pfm(z))
+        ao = loads_pfm(urllib.request.urlopen(req).read())
+        cam = CameraParams(depth_mode="linear")
+        want = np.asarray(render_frame(z, cam, AOParams(strength=2.0)))
+        np.testing.assert_allclose(ao, want, atol=1e-6)
+
+        # png output path
+        resp = urllib.request.urlopen(urllib.request.Request(
+            f"{base}/ao?out=png", data=dumps_pfm(z)))
+        assert resp.headers["Content-Type"] == "image/png"
+        assert resp.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # bad inputs are 400s, not 500s
+        bad = urllib.request.Request(f"{base}/ao?nonsense=1",
+                                     data=dumps_pfm(z))
+        try:
+            urllib.request.urlopen(bad)
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_calibrate_script():
     import subprocess
     import sys

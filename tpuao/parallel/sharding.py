@@ -47,7 +47,13 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 
 def render_views(depths, camera=None, params=None, normals=None,
                  impl: str = "auto"):
-    """vmap of the frame program over a leading views axis (no sharding)."""
+    """vmap of the frame program over a leading views axis (no sharding).
+
+    Mainly a building block for collective-audit tests; for color /
+    out_dtype / debug on an unsharded batch use ``render_frame`` (which
+    handles leading batch axes natively), and for multi-chip execution
+    ``render_views_sharded``.
+    """
     camera = camera or CameraParams()
     params = params or AOParams()
 

@@ -66,50 +66,69 @@ def _lib():
 # ---------------------------------------------------------------------------
 
 
-def _load_pfm_py(path: str) -> np.ndarray:
-    with open(path, "rb") as f:
-        def token():
-            t = b""
+def _load_pfm_stream(f, name: str = "<stream>") -> np.ndarray:
+    def token():
+        t = b""
+        c = f.read(1)
+        while c in b" \t\r\n":
+            c = f.read(1)
+        while c == b"#":  # comment to end of line
+            while c not in (b"\n", b""):
+                c = f.read(1)
             c = f.read(1)
             while c in b" \t\r\n":
                 c = f.read(1)
-            while c == b"#":  # comment to end of line
-                while c not in (b"\n", b""):
-                    c = f.read(1)
-                c = f.read(1)
-                while c in b" \t\r\n":
-                    c = f.read(1)
-            while c not in b" \t\r\n" and c != b"":
-                t += c
-                c = f.read(1)
-            return t
+        while c not in b" \t\r\n" and c != b"":
+            t += c
+            c = f.read(1)
+        return t
 
-        magic = token()
-        if magic == b"Pf":
-            ch = 1
-        elif magic == b"PF":
-            ch = 3
-        else:
-            raise ValueError(f"{path}: {_ERR[-2]}")
-        w, h = int(token()), int(token())
-        scale = float(token())
-        if w <= 0 or h <= 0 or scale == 0.0:
-            raise ValueError(f"{path}: {_ERR[-2]}")
-        dt = np.dtype("<f4" if scale < 0 else ">f4")
-        data = np.frombuffer(f.read(4 * h * w * ch), dtype=dt)
-        if data.size != h * w * ch:
-            raise ValueError(f"{path}: {_ERR[-4]}")
-        shape = (h, w) if ch == 1 else (h, w, 3)
-        return data.reshape(shape)[::-1].astype(np.float32)  # bottom-up
+    magic = token()
+    if magic == b"Pf":
+        ch = 1
+    elif magic == b"PF":
+        ch = 3
+    else:
+        raise ValueError(f"{name}: {_ERR[-2]}")
+    w, h = int(token()), int(token())
+    scale = float(token())
+    if w <= 0 or h <= 0 or scale == 0.0:
+        raise ValueError(f"{name}: {_ERR[-2]}")
+    dt = np.dtype("<f4" if scale < 0 else ">f4")
+    data = np.frombuffer(f.read(4 * h * w * ch), dtype=dt)
+    if data.size != h * w * ch:
+        raise ValueError(f"{name}: {_ERR[-4]}")
+    shape = (h, w) if ch == 1 else (h, w, 3)
+    return data.reshape(shape)[::-1].astype(np.float32)  # bottom-up
+
+
+def _load_pfm_py(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        return _load_pfm_stream(f, path)
+
+
+def loads_pfm(data: bytes) -> np.ndarray:
+    """In-memory PFM bytes -> (H, W[, 3]) float32 (the serving path)."""
+    import io
+
+    return _load_pfm_stream(io.BytesIO(data))
+
+
+def dumps_pfm(arr) -> bytes:
+    """(H, W[, 3]) float array -> little-endian PFM bytes."""
+    arr = np.asarray(arr, dtype=np.float32)
+    if not (arr.ndim == 2 or (arr.ndim == 3 and arr.shape[-1] == 3)):
+        raise ValueError(
+            f"expected (H, W) or (H, W, 3) frame, got {arr.shape}")
+    magic = "Pf" if arr.ndim == 2 else "PF"
+    h, w = arr.shape[:2]
+    return (f"{magic}\n{w} {h}\n-1.0\n".encode()
+            + arr[::-1].astype("<f4").tobytes())
 
 
 def _save_pfm_py(path: str, arr: np.ndarray) -> None:
-    arr = np.asarray(arr, dtype=np.float32)
-    magic = "Pf" if arr.ndim == 2 else "PF"
-    h, w = arr.shape[:2]
     with open(path, "wb") as f:
-        f.write(f"{magic}\n{w} {h}\n-1.0\n".encode())
-        f.write(arr[::-1].astype("<f4").tobytes())
+        f.write(dumps_pfm(arr))
 
 
 # ---------------------------------------------------------------------------
