@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Minimal AO serving endpoint: PFM depth in -> PFM (or PNG) AO out.
 
-    python examples/serve.py [port] [--config cfg.json]
+    python examples/serve.py [port] [--config cfg.json] [--batch 4]
 
 The deployment glue layer (SURVEY.md SS2 L4 analog for a service instead
 of a game engine): one warm `AmbientOcclusionEngine` per process; the
@@ -92,15 +92,20 @@ class AOHandler(BaseHTTPRequestHandler):
             if unknown:
                 raise ValueError(f"unknown query params: {sorted(unknown)}")
             eng = self.server.engine
-            with self.server.lock:
-                # traced scalars: swapping tunables per request reuses
-                # the cached compiled program (validated on set)
-                params = eng.params.replace(**tunables).validate() \
-                    if tunables else eng.params
-                from tpuao.models.pipeline import render_frame
+            if tunables or self.server.batcher is None:
+                with self.server.lock:
+                    # traced scalars: swapping tunables per request
+                    # reuses the cached compiled program (validated)
+                    params = eng.params.replace(**tunables).validate() \
+                        if tunables else eng.params
+                    from tpuao.models.pipeline import render_frame
 
-                ao = np.asarray(render_frame(depth, eng.camera, params,
-                                             impl=eng.impl))
+                    ao = np.asarray(render_frame(depth, eng.camera,
+                                                 params, impl=eng.impl))
+            else:
+                # default-tunable requests ride the micro-batcher: many
+                # concurrent clients share fixed-shape batched programs
+                ao = self.server.batcher.submit(depth).result()
         except ValueError as e:
             self._send(400, str(e).encode(), "text/plain")
             return
@@ -121,24 +126,40 @@ class AOHandler(BaseHTTPRequestHandler):
 
 
 def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
-                verbose: bool = False) -> ThreadingHTTPServer:
-    """Build (not start) the server; ``port=0`` picks a free port."""
+                verbose: bool = False,
+                batch_size: int = 0) -> ThreadingHTTPServer:
+    """Build (not start) the server; ``port=0`` picks a free port.
+
+    ``batch_size > 0`` routes default-tunable requests through a
+    ``utils.batching.MicroBatcher`` so concurrent clients share
+    fixed-shape batched programs."""
     srv = ThreadingHTTPServer(("127.0.0.1", port), AOHandler)
     srv.engine = engine or AmbientOcclusionEngine(
         CameraParams(depth_mode="linear"))
     srv.lock = threading.Lock()  # one frame in flight per process
     srv.verbose = verbose
+    srv.batcher = None
+    if batch_size:
+        from tpuao.utils.batching import MicroBatcher
+
+        eng = srv.engine
+        srv.batcher = MicroBatcher(
+            lambda d: eng.render(d), batch_size=batch_size)
     return srv
 
 
 def main(argv):
-    args = [a for a in argv[1:] if not a.startswith("--")]
+    args = [a for a in argv[1:] if not a.startswith("--")
+            and (argv.index(a) == 0 or argv[argv.index(a) - 1]
+                 not in ("--config", "--batch"))]
     port = int(args[0]) if args else 8080
     eng = None
     if "--config" in argv:
-        cfg = argv[argv.index("--config") + 1]
-        eng = AmbientOcclusionEngine.from_config(cfg)
-    srv = make_server(port, eng, verbose=True)
+        eng = AmbientOcclusionEngine.from_config(
+            argv[argv.index("--config") + 1])
+    batch = (int(argv[argv.index("--batch") + 1])
+             if "--batch" in argv else 0)
+    srv = make_server(port, eng, verbose=True, batch_size=batch)
     print(f"tpuao serving on http://127.0.0.1:{srv.server_address[1]} "
           f"(POST /ao, GET /config)")
     srv.serve_forever()

@@ -1,0 +1,92 @@
+"""MicroBatcher tests (serving-layer dynamic batching)."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tpuao.models.pipeline import render_frame
+from tpuao.params import AOParams, CameraParams
+from tpuao.utils import fixtures as F
+from tpuao.utils.batching import MicroBatcher
+
+CAM = CameraParams(depth_mode="linear")
+PAR = AOParams(hierarchy_depth=2)
+
+
+def _render(batch):
+    return render_frame(batch, CAM, PAR, impl="jnp")
+
+
+def test_batched_results_match_per_frame():
+    frames = [F.spheres_on_plane(64, 128, n_spheres=2, seed=s
+                                 ).astype(np.float32) for s in range(6)]
+    with MicroBatcher(_render, batch_size=4, max_delay_ms=50.0) as mb:
+        futs = [mb.submit(z) for z in frames]
+        outs = [f.result(timeout=120) for f in futs]
+    for z, ao in zip(frames, outs):
+        want = np.asarray(render_frame(z, CAM, PAR, impl="jnp"))
+        np.testing.assert_allclose(ao, want, atol=1e-6)
+
+
+def test_partial_batch_flushes_on_timeout():
+    z = F.spheres_on_plane(64, 128, n_spheres=2, seed=9).astype(np.float32)
+    with MicroBatcher(_render, batch_size=8, max_delay_ms=20.0) as mb:
+        t0 = time.monotonic()
+        out = mb.submit(z).result(timeout=120)
+        # flushed by the delay, padded to the fixed batch size (no
+        # waiting forever for 7 more frames)
+        assert out.shape == z.shape
+    want = np.asarray(render_frame(z, CAM, PAR, impl="jnp"))
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+
+def test_mixed_shapes_group_separately():
+    za = F.spheres_on_plane(64, 128, n_spheres=2, seed=3).astype(np.float32)
+    zb = F.spheres_on_plane(96, 128, n_spheres=2, seed=4).astype(np.float32)
+    with MicroBatcher(_render, batch_size=2, max_delay_ms=20.0) as mb:
+        fa = [mb.submit(za), mb.submit(zb), mb.submit(za), mb.submit(zb)]
+        outs = [f.result(timeout=180) for f in fa]
+    assert outs[0].shape == (64, 128) and outs[1].shape == (96, 128)
+    np.testing.assert_allclose(
+        outs[0], np.asarray(render_frame(za, CAM, PAR, impl="jnp")),
+        atol=1e-6)
+    np.testing.assert_allclose(
+        outs[1], np.asarray(render_frame(zb, CAM, PAR, impl="jnp")),
+        atol=1e-6)
+
+
+def test_concurrent_submitters():
+    frames = [F.spheres_on_plane(64, 128, n_spheres=2, seed=20 + s
+                                 ).astype(np.float32) for s in range(8)]
+    results = {}
+
+    with MicroBatcher(_render, batch_size=4, max_delay_ms=10.0) as mb:
+        def client(i):
+            results[i] = mb.submit(frames[i]).result(timeout=180)
+
+        ts = [threading.Thread(target=client, args=(i,)) for i in range(8)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=180)
+    for i, z in enumerate(frames):
+        want = np.asarray(render_frame(z, CAM, PAR, impl="jnp"))
+        np.testing.assert_allclose(results[i], want, atol=1e-6)
+
+
+def test_close_rejects_new_and_is_idempotent():
+    mb = MicroBatcher(_render, batch_size=2)
+    mb.close()
+    mb.close()
+    with pytest.raises(RuntimeError, match="closed"):
+        mb.submit(np.ones((64, 128), np.float32))
+
+
+def test_bad_inputs():
+    with pytest.raises(ValueError, match="batch_size"):
+        MicroBatcher(_render, batch_size=0)
+    with MicroBatcher(_render, batch_size=2) as mb:
+        with pytest.raises(ValueError, match="frame"):
+            mb.submit(np.ones((2, 64, 128), np.float32))

@@ -166,6 +166,50 @@ def test_serve_endpoint():
         srv.server_close()
 
 
+def test_serve_endpoint_batched():
+    """batch_size routes default-tunable requests through MicroBatcher;
+    concurrent clients still each get their own frame's AO."""
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    import serve as S
+
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0, batch_size=2)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        frames = [F.spheres_on_plane(96, 128, n_spheres=3, seed=5 + i
+                                     ).astype(np.float32) for i in range(4)]
+        results = {}
+
+        def post(i):
+            req = urllib.request.Request(f"{base}/ao",
+                                         data=dumps_pfm(frames[i]))
+            results[i] = loads_pfm(urllib.request.urlopen(req).read())
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=300)
+        cam = CameraParams(depth_mode="linear")
+        for i, z in enumerate(frames):
+            want = np.asarray(render_frame(z, cam, AOParams()))
+            np.testing.assert_allclose(results[i], want, atol=1e-6)
+    finally:
+        srv.batcher.close()
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_calibrate_script():
     import subprocess
     import sys

@@ -1,0 +1,114 @@
+"""Dynamic micro-batching for AO serving (deployment-layer component).
+
+A serving process receives single frames from many clients but the chip
+is fastest on fixed-shape batched programs (and XLA compiles one program
+per shape).  ``MicroBatcher`` bridges the two: requests queue per frame
+shape, a worker flushes a queue when it reaches ``batch_size`` frames or
+the oldest request has waited ``max_delay_ms``, and every flush pads the
+batch to exactly ``batch_size`` by repeating the last frame -- so each
+frame shape compiles ONE batched program ever, regardless of arrival
+pattern.  Results come back through per-request futures.
+
+This is the TPU-native analog of a production inference server's
+batching queue; the reference (a per-camera game effect) has no such
+component, but [BJ] config 5's multi-view deployment shape implies it.
+
+    batcher = MicroBatcher(lambda d: render_frame(d, cam, params),
+                           batch_size=4)
+    fut = batcher.submit(depth)          # from any thread
+    ao = fut.result()
+
+The render function receives a stacked ``(batch_size, H, W)`` array and
+must return a leading-batch result (``render_frame`` handles leading
+axes natively; pass a sharded-mode closure for multi-chip serving).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import defaultdict, deque
+from concurrent.futures import Future
+
+import numpy as np
+
+
+class MicroBatcher:
+    def __init__(self, render_fn, batch_size: int = 4,
+                 max_delay_ms: float = 5.0):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
+        self._render = render_fn
+        self._bs = batch_size
+        self._delay = max_delay_ms / 1e3
+        self._lock = threading.Condition()
+        self._queues: dict[tuple, deque] = defaultdict(deque)
+        self._closed = False
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    # -- client side -------------------------------------------------------
+    def submit(self, depth) -> Future:
+        """Queue one (H, W) frame; returns a Future for its AO frame."""
+        depth = np.asarray(depth, dtype=np.float32)
+        if depth.ndim != 2:
+            raise ValueError(f"submit takes one (H, W) frame, "
+                             f"got {depth.shape}")
+        fut: Future = Future()
+        with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
+            self._queues[depth.shape].append((depth, fut, time.monotonic()))
+            self._lock.notify()
+        return fut
+
+    # -- worker ------------------------------------------------------------
+    def _take_ready(self):
+        """Under the lock: pop a (shape, items) flush if one is due."""
+        now = time.monotonic()
+        soonest = None
+        for shape, q in self._queues.items():
+            if not q:
+                continue
+            if len(q) >= self._bs or now - q[0][2] >= self._delay:
+                items = [q.popleft() for _ in range(min(len(q), self._bs))]
+                return (shape, items), None
+            soonest = min(soonest or 1e9, self._delay - (now - q[0][2]))
+        return None, soonest
+
+    def _run(self):
+        while True:
+            with self._lock:
+                ready, wait = self._take_ready()
+                while ready is None and not self._closed:
+                    self._lock.wait(timeout=wait)
+                    ready, wait = self._take_ready()
+                if ready is None:  # closed and drained
+                    return
+            _, items = ready
+            frames = [it[0] for it in items]
+            pad = self._bs - len(frames)
+            batch = np.stack(frames + [frames[-1]] * pad)
+            try:
+                out = np.asarray(self._render(batch))
+                for i, (_, fut, _) in enumerate(items):
+                    fut.set_result(out[i])
+            except Exception as e:  # pragma: no cover - render errors
+                for (_, fut, _) in items:
+                    if not fut.done():
+                        fut.set_exception(e)
+
+    # -- lifecycle ---------------------------------------------------------
+    def close(self, timeout: float = 10.0):
+        """Flush remaining requests and stop the worker (idempotent)."""
+        with self._lock:
+            self._closed = True
+            self._delay = 0.0  # drain immediately
+            self._lock.notify_all()
+        self._worker.join(timeout=timeout)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
