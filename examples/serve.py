@@ -13,9 +13,12 @@ API (stdlib HTTP, threaded):
   POST /ao            body = PFM ('Pf' depth; normals/color variants via
                       multipart are left to real deployments)
       ?strength=2.0&rejection_falloff=5.0&...   per-request tunables
-      ?out=pfm (default) | png | uint8-pfm-like octet payloads
+      ?out=pfm (default) | png
   GET  /config        the engine's current AOParams/CameraParams JSON
-  GET  /healthz       200 once the engine has compiled its first frame
+  GET  /healthz       200 once a frame has rendered (readiness: the
+                      first compile takes tens of seconds on a remote
+                      TPU; start with --warmup HxW to pre-compile, or
+                      gate on /healthz turning 200 after a warmup POST)
 
 Example round-trip:
 
@@ -66,7 +69,11 @@ class AOHandler(BaseHTTPRequestHandler):
     def do_GET(self):
         path = urlparse(self.path).path
         if path == "/healthz":
-            self._send(200, b"ok", "text/plain")
+            if self.server.warmed:
+                self._send(200, b"ok", "text/plain")
+            else:
+                self._send(503, b"warming: no frame rendered yet",
+                           "text/plain")
         elif path == "/config":
             eng = self.server.engine
             body = json.dumps({"ao": params_to_dict(eng.params),
@@ -82,15 +89,19 @@ class AOHandler(BaseHTTPRequestHandler):
             self._send(404, b"not found", "text/plain")
             return
         try:
-            n = int(self.headers.get("Content-Length", "0"))
-            depth = loads_pfm(self.rfile.read(n))
             q = dict(parse_qsl(url.query))
             out_fmt = q.pop("out", "pfm")
+            if out_fmt not in ("pfm", "png"):
+                # validate BEFORE rendering: a bad out= must not burn a
+                # full device render just to 400 (review r3)
+                raise ValueError(f"unknown out={out_fmt}")
             tunables = {k: float(v) for k, v in q.items()
                         if k in PARAM_RANGES}
             unknown = set(q) - set(tunables)
             if unknown:
                 raise ValueError(f"unknown query params: {sorted(unknown)}")
+            n = int(self.headers.get("Content-Length", "0"))
+            depth = loads_pfm(self.rfile.read(n))
             eng = self.server.engine
             if tunables or self.server.batcher is None:
                 with self.server.lock:
@@ -109,6 +120,7 @@ class AOHandler(BaseHTTPRequestHandler):
         except ValueError as e:
             self._send(400, str(e).encode(), "text/plain")
             return
+        self.server.warmed = True
         if out_fmt == "png":
             import io
 
@@ -119,10 +131,8 @@ class AOHandler(BaseHTTPRequestHandler):
                 (np.clip(ao, 0, 1) * 255 + 0.5).astype(np.uint8)
             ).save(buf, format="PNG")
             self._send(200, buf.getvalue(), "image/png")
-        elif out_fmt == "pfm":
+        else:  # "pfm" (out_fmt validated before the render)
             self._send(200, dumps_pfm(ao), "application/x-pfm")
-        else:
-            self._send(400, f"unknown out={out_fmt}".encode(), "text/plain")
 
 
 def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
@@ -138,6 +148,7 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
         CameraParams(depth_mode="linear"))
     srv.lock = threading.Lock()  # one frame in flight per process
     srv.verbose = verbose
+    srv.warmed = False  # /healthz turns 200 after the first render
     srv.batcher = None
     if batch_size:
         from tpuao.utils.batching import MicroBatcher
@@ -149,19 +160,25 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
 
 
 def main(argv):
-    args = [a for a in argv[1:] if not a.startswith("--")
-            and (argv.index(a) == 0 or argv[argv.index(a) - 1]
-                 not in ("--config", "--batch"))]
-    port = int(args[0]) if args else 8080
-    eng = None
-    if "--config" in argv:
-        eng = AmbientOcclusionEngine.from_config(
-            argv[argv.index("--config") + 1])
-    batch = (int(argv[argv.index("--batch") + 1])
-             if "--batch" in argv else 0)
-    srv = make_server(port, eng, verbose=True, batch_size=batch)
+    import argparse
+
+    ap = argparse.ArgumentParser(description="tpuao AO serving endpoint")
+    ap.add_argument("port", nargs="?", type=int, default=8080)
+    ap.add_argument("--config", help="engine config JSON (save_config)")
+    ap.add_argument("--batch", type=int, default=0,
+                    help="micro-batch size for default-tunable requests")
+    ap.add_argument("--warmup", metavar="HxW",
+                    help="pre-compile for this frame shape before serving")
+    a = ap.parse_args(argv[1:])
+    eng = AmbientOcclusionEngine.from_config(a.config) if a.config else None
+    srv = make_server(a.port, eng, verbose=True, batch_size=a.batch)
+    if a.warmup:
+        h, w = (int(v) for v in a.warmup.split("x"))
+        np.asarray(srv.engine.render(np.full((h, w), 0.5, np.float32)))
+        srv.warmed = True
+        print(f"warmed up for {h}x{w}")
     print(f"tpuao serving on http://127.0.0.1:{srv.server_address[1]} "
-          f"(POST /ao, GET /config)")
+          f"(POST /ao, GET /config, GET /healthz)")
     srv.serve_forever()
 
 

@@ -236,6 +236,23 @@ def test_prefetcher_propagates_errors(tmp_path):
         next(it)
 
 
+def test_bytes_codec_roundtrip():
+    for arr in (_frame(9, 11, seed=7), _frame3(9, 11, seed=8)):
+        got = FIO.loads_pfm(FIO.dumps_pfm(arr))
+        np.testing.assert_array_equal(got, arr)
+
+
+def test_loads_pfm_truncated_raises_not_hangs():
+    """EOF in any header position must raise, not spin (the whitespace
+    loops used to loop forever on b'' -- a remotely triggerable hang
+    once serve.py fed loads_pfm raw network bodies)."""
+    for bad in (b"", b"Pf", b"Pf\n4", b"Pf\n4 4", b"Pf\n4 4\n-1.0",
+                b"Pf\n4 4\n-1.0\n\0\0", b"# only a comment",
+                b"Pf\n4 4\n"):
+        with pytest.raises(ValueError):
+            FIO.loads_pfm(bad)
+
+
 def test_fallback_used_without_lib(tmp_path, monkeypatch):
     monkeypatch.setattr(FIO, "_lib", lambda: None)
     z = _frame(12, 20, seed=9)

@@ -133,7 +133,12 @@ def test_serve_endpoint():
     t.start()
     try:
         base = f"http://127.0.0.1:{srv.server_address[1]}"
-        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
+        # readiness contract: 503 until a frame has rendered
+        try:
+            urllib.request.urlopen(f"{base}/healthz")
+            assert False, "expected 503 before warmup"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
         cfg = __import__("json").loads(
             urllib.request.urlopen(f"{base}/config").read())
         assert cfg["ao"]["strength"] == 1.0
@@ -143,6 +148,7 @@ def test_serve_endpoint():
         req = urllib.request.Request(f"{base}/ao?strength=2.0",
                                      data=dumps_pfm(z))
         ao = loads_pfm(urllib.request.urlopen(req).read())
+        assert urllib.request.urlopen(f"{base}/healthz").read() == b"ok"
         cam = CameraParams(depth_mode="linear")
         want = np.asarray(render_frame(z, cam, AOParams(strength=2.0)))
         np.testing.assert_allclose(ao, want, atol=1e-6)

@@ -64,16 +64,26 @@ class MicroBatcher:
 
     # -- worker ------------------------------------------------------------
     def _take_ready(self):
-        """Under the lock: pop a (shape, items) flush if one is due."""
+        """Under the lock: pop the due flush with the OLDEST head request.
+
+        Oldest-first matters: taking the first ready queue in dict order
+        would let one continuously saturated frame shape starve other
+        shapes past max_delay_ms indefinitely (review r3)."""
         now = time.monotonic()
         soonest = None
+        best = None
         for shape, q in self._queues.items():
             if not q:
                 continue
             if len(q) >= self._bs or now - q[0][2] >= self._delay:
-                items = [q.popleft() for _ in range(min(len(q), self._bs))]
-                return (shape, items), None
-            soonest = min(soonest or 1e9, self._delay - (now - q[0][2]))
+                if best is None or q[0][2] < self._queues[best][0][2]:
+                    best = shape
+            else:
+                soonest = min(soonest or 1e9, self._delay - (now - q[0][2]))
+        if best is not None:
+            q = self._queues[best]
+            items = [q.popleft() for _ in range(min(len(q), self._bs))]
+            return (best, items), None
         return None, soonest
 
     def _run(self):

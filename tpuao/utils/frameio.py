@@ -68,17 +68,21 @@ def _lib():
 
 def _load_pfm_stream(f, name: str = "<stream>") -> np.ndarray:
     def token():
+        # every loop must terminate at EOF (f.read(1) == b""): b"" tests
+        # as a member of ANY bytes, so a bare `c in b" \t"` spins forever
+        # on a truncated header -- with loads_pfm fed raw network bodies
+        # that was a remotely triggerable hang (review r3)
         t = b""
         c = f.read(1)
-        while c in b" \t\r\n":
+        while c != b"" and c in b" \t\r\n":
             c = f.read(1)
         while c == b"#":  # comment to end of line
             while c not in (b"\n", b""):
                 c = f.read(1)
             c = f.read(1)
-            while c in b" \t\r\n":
+            while c != b"" and c in b" \t\r\n":
                 c = f.read(1)
-        while c not in b" \t\r\n" and c != b"":
+        while c != b"" and c not in b" \t\r\n":
             t += c
             c = f.read(1)
         return t
@@ -90,8 +94,11 @@ def _load_pfm_stream(f, name: str = "<stream>") -> np.ndarray:
         ch = 3
     else:
         raise ValueError(f"{name}: {_ERR[-2]}")
-    w, h = int(token()), int(token())
-    scale = float(token())
+    try:
+        w, h = int(token()), int(token())
+        scale = float(token())
+    except ValueError:
+        raise ValueError(f"{name}: {_ERR[-2]}") from None
     if w <= 0 or h <= 0 or scale == 0.0:
         raise ValueError(f"{name}: {_ERR[-2]}")
     dt = np.dtype("<f4" if scale < 0 else ">f4")
