@@ -76,6 +76,27 @@ def test_concurrent_submitters():
         np.testing.assert_allclose(results[i], want, atol=1e-6)
 
 
+def test_batcher_feeds_sharded_views():
+    """The batcher's render_fn can be the multi-chip sharded program:
+    single-frame requests coalesce into a view-sharded batch across the
+    (simulated) mesh — the fleet-serving deployment shape."""
+    from tpuao.parallel.sharding import make_mesh, render_views_sharded
+
+    mesh = make_mesh(4)
+
+    def sharded(batch):
+        return render_views_sharded(batch, CAM, PAR, mesh=mesh, impl="jnp")
+
+    frames = [F.spheres_on_plane(64, 128, n_spheres=2, seed=40 + s
+                                 ).astype(np.float32) for s in range(4)]
+    with MicroBatcher(sharded, batch_size=4, max_delay_ms=50.0) as mb:
+        outs = [f.result(timeout=180)
+                for f in [mb.submit(z) for z in frames]]
+    for z, ao in zip(frames, outs):
+        want = np.asarray(render_frame(z, CAM, PAR, impl="jnp"))
+        np.testing.assert_allclose(ao, want, atol=1e-6)
+
+
 def test_close_rejects_new_and_is_idempotent():
     mb = MicroBatcher(_render, batch_size=2)
     mb.close()
