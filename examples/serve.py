@@ -101,6 +101,9 @@ class AOHandler(BaseHTTPRequestHandler):
             if unknown:
                 raise ValueError(f"unknown query params: {sorted(unknown)}")
             n = int(self.headers.get("Content-Length", "0"))
+            if not 0 < n <= self.server.max_body:
+                raise ValueError(
+                    f"body size {n} outside (0, {self.server.max_body}]")
             depth = loads_pfm(self.rfile.read(n))
             eng = self.server.engine
             if tunables or self.server.batcher is None:
@@ -149,6 +152,7 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
     srv.lock = threading.Lock()  # one frame in flight per process
     srv.verbose = verbose
     srv.warmed = False  # /healthz turns 200 after the first render
+    srv.max_body = 512 << 20  # an 8K 'PF' frame is ~400 MB; reject above
     srv.batcher = None
     if batch_size:
         from tpuao.utils.batching import MicroBatcher
