@@ -22,7 +22,6 @@ import numpy as np
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpuao.models.pipeline import ao_pipeline
@@ -153,19 +152,9 @@ def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int,
                 return out, crop_debug_rows(dbg, halo, band)
             return out
 
-        xs = (ext, nrm_ext, col)
-        present = [x for x in xs if x is not None]
-        if ext.shape[0] == 1:
-            res = one(*(None if x is None else x[0] for x in xs))
-            return jax.tree_util.tree_map(lambda a: a[None], res)
-        unroll = min(int(ext.shape[0]), 8)  # see sharding.py per_chip note
+        from tpuao.parallel.sharding import scan_optional
 
-        def body(c, sl):
-            it = iter(sl)
-            args = [None if x is None else next(it) for x in xs]
-            return c, one(*args)
-
-        return lax.scan(body, None, tuple(present), unroll=unroll)[1]
+        return scan_optional(one, (ext, nrm_ext, col))
 
     spec_n = P(VIEW_AXIS, ROW_AXIS, None, None) if with_normals else P()
     spec_c = (P(VIEW_AXIS, ROW_AXIS, *([None] * (color_ndim - 2)))
