@@ -151,6 +151,30 @@ def test_composite_integer_color():
     assert lit[..., 0].mean() > 100  # not blacked out
 
 
+def test_engine_multichip_entries():
+    """The engine's render_views / render_spatial / render_sections carry
+    its camera/params/out_dtype into the parallel modes."""
+    from tpuao.parallel.sharding import make_mesh
+    from tpuao.parallel.spatial import make_row_mesh
+    from tpuao.params import AOParams
+
+    cam = CameraParams(depth_mode="linear")
+    par = AOParams(hierarchy_depth=2, strength=2.0)
+    eng = AmbientOcclusionEngine(cam, par, impl="jnp")
+
+    zs = np.stack([_scene(64, 128) for _ in range(2)])
+    out_v = np.asarray(eng.render_views(zs, mesh=make_mesh(2)))
+    want = np.stack([np.asarray(eng.render(z)) for z in zs])
+    np.testing.assert_allclose(out_v, want, atol=1e-6)
+
+    z = _scene(256, 128)
+    out_s = np.asarray(eng.render_spatial(z, mesh=make_row_mesh(2)))
+    assert out_s.shape == z.shape  # padded-frame edge semantics at edges
+
+    out_k = np.asarray(eng.render_sections(z, n_sections=2))
+    np.testing.assert_allclose(out_k, np.asarray(eng.render(z)), atol=2e-6)
+
+
 def test_engine_debug_grayscale_and_out_dtype():
     """Debug mode must not read a 2-D grayscale frame's width as a channel
     count, and must honor out_dtype and debug_outputs."""

@@ -384,4 +384,38 @@ class AmbientOcclusionEngine:
                             color, debug_outputs, self.impl,
                             out_dtype=self.out_dtype)
 
+    # --- multi-chip entries (the same engine state drives the parallel
+    # modes; camera/params/impl/out_dtype come from the component) ---
+    def render_views(self, depths, normals=None, color=None, mesh=None,
+                     debug_outputs: bool = False):
+        """[BJ] config 5 through the engine: view-sharded batch."""
+        from tpuao.parallel.sharding import render_views_sharded
+
+        return render_views_sharded(
+            depths, self.camera, self._params, normals=normals, mesh=mesh,
+            impl=self.impl, color=color, out_dtype=self.out_dtype,
+            debug_outputs=debug_outputs)
+
+    def render_spatial(self, depth, normals=None, color=None, mesh=None,
+                       halo_rows: int | None = None,
+                       debug_outputs: bool = False):
+        """One large frame in row bands across a mesh, engine-configured."""
+        from tpuao.parallel.spatial import render_frame_spatial
+
+        return render_frame_spatial(
+            depth, self.camera, self._params, mesh=mesh, impl=self.impl,
+            halo_rows=halo_rows, normals=normals, color=color,
+            out_dtype=self.out_dtype, debug_outputs=debug_outputs)
+
+    def render_sections(self, depth, n_sections: int = 2, normals=None,
+                        color=None, halo_rows: int | None = None):
+        """Memory-bounded sequential sections on one chip (equals the
+        monolithic output; docs/PERF.md for the speed caveat)."""
+        from tpuao.parallel.sections import render_frame_sections
+
+        return render_frame_sections(
+            depth, self.camera, self._params, n_sections=n_sections,
+            halo_rows=halo_rows, impl=self.impl, normals=normals,
+            color=color, out_dtype=self.out_dtype)
+
     __call__ = render
