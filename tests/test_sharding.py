@@ -83,6 +83,71 @@ def test_uneven_views_padded_and_cropped(views):
     np.testing.assert_allclose(np.asarray(out3), single[:3], atol=1e-6)
 
 
+def test_per_view_camera_rig(views):
+    """per_view=True: each view renders with its OWN camera and tunables
+    (the reference's one-component-per-camera rig, inexpressible with a
+    shared scalar batch)."""
+    import math
+
+    n = 4
+    fovs = [50.0, 60.0, 70.0, 80.0]
+    strengths = [0.5, 1.0, 2.0, 4.0]
+    cam_rig = CameraParams(
+        depth_mode="linear",
+        near=np.full(n, 0.1, np.float32),
+        far=np.full(n, 100.0, np.float32),
+        tan_half_fov_h=np.array(
+            [math.tan(math.radians(f) / 2) for f in fovs], np.float32))
+    par_rig = AOParams(strength=np.asarray(strengths, np.float32),
+                       noise_filter_tolerance=np.full(n, -3.0, np.float32),
+                       blur_tolerance=np.full(n, -5.0, np.float32),
+                       upsample_tolerance=np.full(n, -7.0, np.float32),
+                       rejection_falloff=np.full(n, 2.5, np.float32))
+    out = render_views_sharded(views[:n], cam_rig, par_rig,
+                               mesh=make_mesh(4), impl="jnp",
+                               per_view=True)
+    assert out.shape == (n, 64, 128)
+    for i in range(n):
+        cam_i = CameraParams(depth_mode="linear",
+                             tan_half_fov_h=float(cam_rig.tan_half_fov_h[i]))
+        par_i = AOParams(strength=strengths[i])
+        want = np.asarray(render_frame(views[i], cam_i, par_i, impl="jnp"))
+        np.testing.assert_allclose(np.asarray(out[i]), want, atol=1e-6,
+                                   err_msg=f"view {i}")
+
+    # >1 view per chip AND an uneven count: 6 views on 4 chips (pads to
+    # 8, rig leaves padded alongside, cropped back)
+    six = np.concatenate([views[:n], views[:2]], axis=0)
+    cam6 = CameraParams(
+        depth_mode="linear",
+        near=np.full(6, 0.1, np.float32), far=np.full(6, 100.0, np.float32),
+        tan_half_fov_h=np.asarray(
+            [float(cam_rig.tan_half_fov_h[i % n]) for i in range(6)],
+            np.float32))
+    par6 = AOParams(
+        strength=np.asarray([strengths[i % n] for i in range(6)],
+                            np.float32),
+        noise_filter_tolerance=np.full(6, -3.0, np.float32),
+        blur_tolerance=np.full(6, -5.0, np.float32),
+        upsample_tolerance=np.full(6, -7.0, np.float32),
+        rejection_falloff=np.full(6, 2.5, np.float32))
+    out6 = render_views_sharded(six, cam6, par6, mesh=make_mesh(4),
+                                impl="jnp", per_view=True)
+    for i in range(6):
+        cam_i = CameraParams(depth_mode="linear",
+                             tan_half_fov_h=float(cam6.tan_half_fov_h[i]))
+        par_i = AOParams(strength=float(par6.strength[i]))
+        want = np.asarray(render_frame(six[i], cam_i, par_i, impl="jnp"))
+        np.testing.assert_allclose(np.asarray(out6[i]), want, atol=1e-6,
+                                   err_msg=f"view {i}")
+
+    # malformed rig leaves are a clear error
+    with pytest.raises(ValueError, match="per_view"):
+        render_views_sharded(views[:n], CameraParams(depth_mode="linear"),
+                             AOParams(), mesh=make_mesh(4), impl="jnp",
+                             per_view=True)
+
+
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")

@@ -45,12 +45,14 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (VIEW_AXIS,))
 
 
-def scan_optional(one, xs, unroll_cap: int = 8):
+def scan_optional(one, xs, unroll_cap: int = 8, extra=()):
     """``lax.scan`` of ``one(*items)`` over the leading axis of ``xs``.
 
     ``xs`` is a tuple where ``None`` entries stand for absent inputs
     (normals/color are optional in every parallel mode); ``one`` receives
-    one leading-axis slice per present entry and ``None`` for the rest.
+    one leading-axis slice per present entry and ``None`` for the rest,
+    followed by one slice per ``extra`` pytree (always present; used for
+    per-view camera/params whose LEAVES carry the leading view axis).
     A single-item axis skips the scan entirely.  Partial unroll removes
     the scan's per-iteration slicing overhead (measured 0.392 ->
     0.359 ms/view for 8 views on one chip), capped so compile time stays
@@ -58,15 +60,18 @@ def scan_optional(one, xs, unroll_cap: int = 8):
     """
     n = xs[0].shape[0]
     if n == 1:
-        res = one(*(None if x is None else x[0] for x in xs))
+        res = one(*(None if x is None else x[0] for x in xs),
+                  *jax.tree_util.tree_map(lambda a: a[0], tuple(extra)))
         return jax.tree_util.tree_map(lambda a: a[None], res)
     present = tuple(x for x in xs if x is not None)
 
     def body(c, sl):
-        it = iter(sl)
-        return c, one(*[None if x is None else next(it) for x in xs])
+        arrs, ext = sl
+        it = iter(arrs)
+        return c, one(*[None if x is None else next(it) for x in xs],
+                      *ext)
 
-    return jax.lax.scan(body, None, present,
+    return jax.lax.scan(body, None, (present, tuple(extra)),
                         unroll=min(int(n), unroll_cap))[1]
 
 
@@ -93,7 +98,8 @@ def render_views(depths, camera=None, params=None, normals=None,
 def render_views_sharded(depths, camera=None, params=None, normals=None,
                          mesh: Mesh | None = None, impl: str = "auto",
                          color=None, out_dtype: str = "float32",
-                         debug_outputs: bool = False):
+                         debug_outputs: bool = False,
+                         per_view: bool = False):
     """[BJ] config 5: batched multi-view AO sharded across a device mesh.
 
     Inputs are placed with NamedSharding(P('views')) so each chip holds and
@@ -126,12 +132,31 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
     keep the PADDED view count (they are diagnostic buffers; only the
     primary output is cropped -- same convention as the spatial/grid
     modes' padded-height debug leaves).
+
+    ``per_view=True`` renders a heterogeneous CAMERA RIG: every traced
+    leaf of ``camera`` and ``params`` must be a ``(V,)`` array (each view
+    its own near/far/FOV and tunables -- the reference's one-component-
+    per-camera deployment, which a shared-scalar batch cannot express).
+    The leaves shard over the view axis like the frames; structure knobs
+    (hierarchy_depth etc.) stay global.  Per-rig values are still traced
+    scalars per view: changing them reuses the compiled program.
     """
     camera = camera or CameraParams()
     params = params or AOParams()
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     n = depths.shape[0]
+    if per_view:
+        def fix(leaf):
+            leaf = jnp.asarray(leaf, jnp.float32)
+            if leaf.ndim != 1 or leaf.shape[0] != n:
+                raise ValueError(
+                    f"per_view=True needs every camera/params leaf "
+                    f"shaped ({n},), got {leaf.shape}")
+            return leaf
+
+        camera = jax.tree_util.tree_map(fix, camera)
+        params = jax.tree_util.tree_map(fix, params)
     if n % n_dev:
         pad = -(-n // n_dev) * n_dev - n
 
@@ -140,12 +165,17 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
             return jnp.concatenate([x, jnp.tile(x[-1:], reps)], axis=0)
 
         res = render_views_sharded(
-            pad_views(jnp.asarray(depths)), camera, params,
+            pad_views(jnp.asarray(depths)),
+            jax.tree_util.tree_map(pad_views, camera) if per_view
+            else camera,
+            jax.tree_util.tree_map(pad_views, params) if per_view
+            else params,
             normals=None if normals is None
             else pad_views(jnp.asarray(normals)),
             mesh=mesh, impl=impl,
             color=None if color is None else pad_views(jnp.asarray(color)),
-            out_dtype=out_dtype, debug_outputs=debug_outputs)
+            out_dtype=out_dtype, debug_outputs=debug_outputs,
+            per_view=per_view)
         out, dbg = res if debug_outputs else (res, None)
         from tpuao.parallel.spatial import crop_rows_sharded
 
@@ -168,13 +198,14 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
     # changes reuse the cached compiled program (no per-call retrace)
     local_px = depths.shape[-2] * depths.shape[-1]  # per-view frame size
     return _sharded_jit(mesh, normals is not None, impl, local_px,
-                        color_ndim, out_dtype, debug_outputs)(
+                        color_ndim, out_dtype, debug_outputs, per_view)(
         depths, normals, color, camera, params)
 
 
 def _sharded_views_args_fn(mesh: Mesh, with_normals: bool, impl: str,
                            color_ndim: int = 0,
-                           out_dtype: str = "float32", debug: bool = False):
+                           out_dtype: str = "float32", debug: bool = False,
+                           per_view: bool = False):
     """The shard_map program taking (depths, normals, color, camera,
     params)."""
     from tpuao.models.pipeline import _quantize
@@ -187,7 +218,12 @@ def _sharded_views_args_fn(mesh: Mesh, with_normals: bool, impl: str,
         return (out, dbg) if debug else out
 
     def per_chip(d, nrm, col, camera, params):
-        # scan of the unbatched program over the local views
+        # scan of the unbatched program over the local views; with
+        # per_view rigs the camera/params leaves carry the local view
+        # axis and are scanned alongside the frames
+        if per_view:
+            return scan_optional(one, (d, nrm, col),
+                                 extra=(camera, params))
         return scan_optional(
             lambda d_, n_, c_: one(d_, n_, c_, camera, params),
             (d, nrm, col))
@@ -198,11 +234,12 @@ def _sharded_views_args_fn(mesh: Mesh, with_normals: bool, impl: str,
         [None] if color_ndim == 4 else []))
     out_specs = ((spec_out, P(VIEW_AXIS, None, None)) if debug
                  else spec_out)
+    spec_cfg = P(VIEW_AXIS) if per_view else P()
     return jax.shard_map(
         per_chip, mesh=mesh,
         in_specs=(P(VIEW_AXIS, None, None),
                   P(VIEW_AXIS, None, None, None) if with_normals else P(),
-                  spec_c, P(), P()),
+                  spec_c, spec_cfg, spec_cfg),
         out_specs=out_specs,
     )
 
@@ -210,11 +247,12 @@ def _sharded_views_args_fn(mesh: Mesh, with_normals: bool, impl: str,
 @functools.lru_cache(maxsize=None)
 def _sharded_jit(mesh: Mesh, with_normals: bool, impl: str, local_px: int,
                  color_ndim: int = 0, out_dtype: str = "float32",
-                 debug: bool = False):
+                 debug: bool = False, per_view: bool = False):
     from tpuao.utils.xla_opts import tpu_compiler_options
 
     return jax.jit(_sharded_views_args_fn(mesh, with_normals, impl,
-                                          color_ndim, out_dtype, debug),
+                                          color_ndim, out_dtype, debug,
+                                          per_view),
                    compiler_options=tpu_compiler_options(local_px,
                                                          with_normals))
 
