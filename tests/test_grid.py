@@ -86,6 +86,42 @@ def test_grid_auto_pad_height():
                                    atol=1e-5)
 
 
+def test_grid_per_view_rig():
+    """per_view camera/tunable rigs on the 2-D mesh: view-axis-sharded
+    leaves, row-axis replicated."""
+    import math
+
+    from tpuao.params import AOParams as AOP
+
+    v, h, w = 2, 1280, 128
+    zs = _views(v, h, w)
+    fovs = [50.0, 75.0]
+    cam = CameraParams(
+        depth_mode="linear",
+        near=np.full(v, 0.1, np.float32), far=np.full(v, 100.0, np.float32),
+        tan_half_fov_h=np.asarray(
+            [math.tan(math.radians(f) / 2) for f in fovs], np.float32))
+    par = AOP(strength=np.asarray([1.0, 3.0], np.float32),
+              noise_filter_tolerance=np.full(v, -3.0, np.float32),
+              blur_tolerance=np.full(v, -5.0, np.float32),
+              upsample_tolerance=np.full(v, -7.0, np.float32),
+              rejection_falloff=np.full(v, 2.5, np.float32))
+    out = np.asarray(render_views_spatial(zs, cam, par,
+                                          mesh=make_grid_mesh(2, 4),
+                                          halo_rows=HALO, per_view=True))
+    for i in range(v):
+        cam_i = CameraParams(depth_mode="linear",
+                             tan_half_fov_h=float(cam.tan_half_fov_h[i]))
+        par_i = AOP(strength=float(par.strength[i]))
+        padded = np.concatenate(
+            [np.tile(zs[i][:1], (HALO, 1)), zs[i],
+             np.tile(zs[i][-1:], (HALO, 1))], axis=0)
+        want = np.asarray(render_frame(padded, cam_i, par_i,
+                                       impl="jnp"))[HALO: HALO + h]
+        np.testing.assert_allclose(out[i], want, atol=1e-6,
+                                   err_msg=f"view {i}")
+
+
 def test_grid_constraints():
     with pytest.raises(ValueError, match="needs"):
         make_grid_mesh(4, 4)  # 16 > 8 CPU devices

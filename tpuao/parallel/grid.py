@@ -53,7 +53,8 @@ def render_views_spatial(depths, camera=None, params=None,
                          halo_rows: int | None = None,
                          auto_pad: bool = True, normals=None, color=None,
                          out_dtype: str = "float32",
-                         debug_outputs: bool = False):
+                         debug_outputs: bool = False,
+                         per_view: bool = False):
     """(V, H, W) depth batch -> (V, H, W) AO on a 2-D views x rows mesh.
 
     Constraints (same as the 1-D modes they compose): V divisible by the
@@ -71,6 +72,10 @@ def render_views_spatial(depths, camera=None, params=None,
     ``debug_outputs=True`` additionally returns the debug dict with every
     leaf (views, rows)-sharded and halo-cropped (padded height under
     ``auto_pad``, as in the 1-D mode).
+
+    ``per_view=True``: heterogeneous camera rig, as in
+    ``render_views_sharded`` — camera/params leaves are ``(V,)`` arrays
+    sharded over the view axis (replicated along the row axis).
     """
     camera = camera or CameraParams()
     params = params or AOParams()
@@ -82,6 +87,17 @@ def render_views_spatial(depths, camera=None, params=None,
     nr = mesh.shape[ROW_AXIS]
     v, h, w = depths.shape
     halo = halo_rows
+    if per_view:
+        def fix(leaf):
+            leaf = jnp.asarray(leaf, jnp.float32)
+            if leaf.ndim != 1 or leaf.shape[0] != v:
+                raise ValueError(
+                    f"per_view=True needs every camera/params leaf "
+                    f"shaped ({v},), got {leaf.shape}")
+            return leaf
+
+        camera = jax.tree_util.tree_map(fix, camera)
+        params = jax.tree_util.tree_map(fix, params)
     if auto_pad and h % (64 * nr):
         res = render_views_spatial(
             pad_rows_aligned(depths, nr, 1), camera, params, mesh=mesh,
@@ -89,7 +105,8 @@ def render_views_spatial(depths, camera=None, params=None,
             normals=None if normals is None
             else pad_rows_aligned(normals, nr, 1),
             color=None if color is None else pad_rows_aligned(color, nr, 1),
-            out_dtype=out_dtype, debug_outputs=debug_outputs)
+            out_dtype=out_dtype, debug_outputs=debug_outputs,
+            per_view=per_view)
         out, dbg = res if debug_outputs else (res, None)
         spec = (P(VIEW_AXIS, ROW_AXIS, None, None) if out.ndim == 4
                 else P(VIEW_AXIS, ROW_AXIS, None))
@@ -121,14 +138,15 @@ def render_views_spatial(depths, camera=None, params=None,
     # changes reuse the cached compiled program (see sharding.py)
     local_px = (h // nr + 2 * halo) * w  # per-chip band working set
     return _grid_jit(mesh, nr, halo, impl, local_px, normals is not None,
-                     color_ndim, out_dtype, debug_outputs)(
+                     color_ndim, out_dtype, debug_outputs, per_view)(
         depths, normals, color, camera, params)
 
 
 @functools.lru_cache(maxsize=None)
 def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int,
               with_normals: bool = False, color_ndim: int = 0,
-              out_dtype: str = "float32", debug: bool = False):
+              out_dtype: str = "float32", debug: bool = False,
+              per_view: bool = False):
     from tpuao.models.pipeline import _quantize
     from tpuao.ops import composite as C
     from tpuao.parallel.spatial import crop_debug_rows
@@ -142,9 +160,9 @@ def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int,
         nrm_ext = (halo_extend_rows(nrm, halo, nr, axis=1)
                    if nrm is not None else None)
 
-        def one(e, ne, ce):  # unbatched frame program per local view (see
-            # sharding.py: measured faster than vmap batching on TPU)
-            ao_ext, dbg = ao_pipeline(e, camera, params, ne, impl=impl)
+        def one(e, ne, ce, cam, par):  # unbatched frame program per local
+            # view (see sharding.py: measured faster than vmap batching)
+            ao_ext, dbg = ao_pipeline(e, cam, par, ne, impl=impl)
             ao = ao_ext[halo: halo + band, :]
             out = ao if ce is None else C.composite(ce, ao)
             out = _quantize(out, out_dtype)
@@ -154,7 +172,12 @@ def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int,
 
         from tpuao.parallel.sharding import scan_optional
 
-        return scan_optional(one, (ext, nrm_ext, col))
+        if per_view:
+            return scan_optional(one, (ext, nrm_ext, col),
+                                 extra=(camera, params))
+        return scan_optional(
+            lambda e, ne, ce: one(e, ne, ce, camera, params),
+            (ext, nrm_ext, col))
 
     spec_n = P(VIEW_AXIS, ROW_AXIS, None, None) if with_normals else P()
     spec_c = (P(VIEW_AXIS, ROW_AXIS, *([None] * (color_ndim - 2)))
@@ -163,9 +186,10 @@ def _grid_jit(mesh: Mesh, nr: int, halo: int, impl: str, local_px: int,
                 else P(VIEW_AXIS, ROW_AXIS, None))
     out_specs = ((spec_out, P(VIEW_AXIS, ROW_AXIS, None)) if debug
                  else spec_out)
+    spec_cfg = P(VIEW_AXIS) if per_view else P()
     fn = jax.shard_map(per_chip, mesh=mesh,
                        in_specs=(P(VIEW_AXIS, ROW_AXIS, None), spec_n,
-                                 spec_c, P(), P()),
+                                 spec_c, spec_cfg, spec_cfg),
                        out_specs=out_specs)
     return jax.jit(fn, compiler_options=tpu_compiler_options(local_px,
                                                              with_normals))
