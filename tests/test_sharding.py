@@ -198,8 +198,10 @@ def test_sharded_no_retrace_on_tunable_change():
     mesh = S.make_mesh(2)
     cam = CameraParams(depth_mode="linear")
     S.render_views_sharded(z, cam, AOParams(), mesh=mesh, impl="jnp")
+    # exact positional arity matters: lru_cache keys omitted defaults
+    # differently from explicitly-passed ones
     jit_obj = S._sharded_jit(mesh, False, "jnp", 64 * 128, 0, "float32",
-                             False)
+                             False, False)
     n0 = jit_obj._cache_size()
     assert n0 >= 1
     for s in (1.5, 3.0):
