@@ -1,0 +1,111 @@
+"""CLI (`python -m tpuao`) tests: in-process main() on the CPU backend."""
+
+import json
+
+import numpy as np
+import pytest
+
+from tpuao.cli import main
+from tpuao.models.pipeline import render_frame
+from tpuao.params import AOParams, CameraParams
+from tpuao.utils import fixtures as F
+from tpuao.utils.frameio import load_pfm, save_pfm
+
+
+def _depth(h=96, w=128):
+    return F.spheres_on_plane(h, w, n_spheres=3, seed=7).astype(np.float32)
+
+
+def test_cli_info(capsys):
+    assert main(["info"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["backend"] == "cpu" and "tpuao" in out
+
+
+def test_cli_render_pfm_roundtrip(tmp_path, capsys):
+    z = _depth()
+    src = str(tmp_path / "depth.pfm")
+    dst = str(tmp_path / "ao.pfm")
+    save_pfm(src, z)
+    assert main(["render", src, dst, "--depth-mode", "linear",
+                 "--strength", "2.0"]) == 0
+    ao = load_pfm(dst)
+    ref = np.asarray(render_frame(
+        z, CameraParams(depth_mode="linear"),
+        AOParams(strength=2.0)))
+    np.testing.assert_allclose(ao, ref, atol=1e-6)
+    assert "ao mean" in capsys.readouterr().out
+
+
+def test_cli_render_png_in_out(tmp_path):
+    from PIL import Image
+
+    z = (np.clip(_depth(), 0, 1) * 65535).astype(np.uint16)
+    src = str(tmp_path / "depth.png")
+    dst = str(tmp_path / "ao.png")
+    Image.fromarray(z).save(src)
+    # PNG input implies linear depth mode; PNG output is 8-bit grayscale
+    assert main(["render", src, dst]) == 0
+    ao = np.asarray(Image.open(dst))
+    assert ao.dtype == np.uint8 and ao.shape == z.shape
+    assert ao.min() < 250 and ao.max() > 200  # plane ~1, spheres darken
+
+
+def test_cli_render_preset_sections_debug(tmp_path):
+    z = _depth(128, 128)
+    src = str(tmp_path / "d.pfm")
+    save_pfm(src, z)
+    # preset + sections path
+    dst = str(tmp_path / "a.pfm")
+    assert main(["render", src, dst, "--depth-mode", "linear",
+                 "--preset", "LOW", "--sections", "2"]) == 0
+    ref = np.asarray(render_frame(
+        z, CameraParams(depth_mode="linear"),
+        AOParams(hierarchy_depth=2)))
+    np.testing.assert_allclose(load_pfm(dst), ref, atol=1e-5)
+    # debug dump path
+    dmp = str(tmp_path / "dbg.npz")
+    assert main(["render", src, dst, "--depth-mode", "linear",
+                 "--debug-dump", dmp]) == 0
+    with np.load(dmp) as f:
+        assert len(f.files) > 0
+    # --sections + --debug-dump is rejected
+    assert main(["render", src, dst, "--sections", "2",
+                 "--debug-dump", dmp]) == 2
+
+
+def test_cli_render_rejects_bad_input(tmp_path):
+    src = str(tmp_path / "c.pfm")
+    save_pfm(src, np.zeros((8, 8, 3), np.float32))  # 3-channel: not depth
+    assert main(["render", src, str(tmp_path / "o.pfm")]) == 2
+
+
+def test_cli_tunable_flags_cover_param_ranges():
+    # every tunable in PARAM_RANGES is exposed as a flag
+    from tpuao.cli import _build_parser
+    from tpuao.params import PARAM_RANGES
+
+    sub = _build_parser()._subparsers._group_actions[0].choices
+    render_help = sub["render"].format_help()
+    for name in PARAM_RANGES:
+        assert f"--{name.replace('_', '-')}" in render_help, name
+
+
+@pytest.mark.slow
+def test_cli_normals_color(tmp_path):
+    z, nrm = F.spheres_on_plane(96, 128, n_spheres=3, seed=7,
+                                with_normals=True)
+    z = z.astype(np.float32)
+    src = str(tmp_path / "d.pfm")
+    npath = str(tmp_path / "n.pfm")
+    cpath = str(tmp_path / "c.pfm")
+    dst = str(tmp_path / "o.pfm")
+    save_pfm(src, z)
+    save_pfm(npath, np.asarray(nrm, np.float32))
+    color = np.random.default_rng(0).uniform(
+        0, 1, z.shape + (3,)).astype(np.float32)
+    save_pfm(cpath, color)
+    assert main(["render", src, dst, "--depth-mode", "linear",
+                 "--normals", npath, "--color", cpath]) == 0
+    out = load_pfm(dst)
+    assert out.shape == color.shape

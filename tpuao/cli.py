@@ -1,0 +1,227 @@
+"""Command-line front end: ``python -m tpuao <command>``.
+
+The reference's user surface is "add the component to a Camera and move
+sliders" (SURVEY.md SS2 L3/L4); outside a game engine the equivalent
+one-liner is a shell command over image files.  Three subcommands:
+
+  info    backend / device / version report (JSON)
+  render  depth image in -> AO image out, every tunable as a flag
+  serve   start the HTTP endpoint (delegates to examples/serve.py)
+
+``render`` speaks PFM natively (the framework's frame interchange format,
+``utils/frameio``: 1-channel 'Pf' depth, 3-channel 'PF' normals/color)
+and PNG on either side for convenience: an 8/16-bit grayscale input PNG
+is read as normalized linear depth in [0, 1] (``--depth-mode linear`` is
+implied unless overridden), and a ``.png`` output writes the AO buffer as
+8-bit grayscale (the reference's R8 occlusion RT, SURVEY.md SS3.0).
+
+Tunables ride as traced scalars, so rendering many frames with varying
+flags through one warm process (``serve``) never recompiles; one-shot
+``render`` pays the single compile for its frame shape.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from tpuao.params import PARAM_RANGES
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="tpuao", description=__doc__.splitlines()[0])
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("info", help="backend / device / version report")
+
+    r = sub.add_parser("render", help="depth image in -> AO image out")
+    r.add_argument("input", help="depth frame (.pfm 'Pf', or grayscale .png)")
+    r.add_argument("output", help="AO output (.pfm, or 8-bit .png)")
+    r.add_argument("--normals", help="normals frame (3-channel 'PF' .pfm)")
+    r.add_argument("--color", help="color frame to composite (.pfm/.png)")
+    r.add_argument("--config", help="engine config JSON (save_config)")
+    r.add_argument("--preset", help="quality preset "
+                   "(VERY_LOW|LOW|MEDIUM|HIGH|ULTRA)")
+    for name, (lo, hi) in PARAM_RANGES.items():
+        r.add_argument(f"--{name.replace('_', '-')}", type=float,
+                       dest=name, help=f"tunable in [{lo}, {hi}]")
+    r.add_argument("--depth-mode", choices=("hardware", "linear"),
+                   help="input depth convention (default: hardware for "
+                   ".pfm, linear for .png)")
+    r.add_argument("--near", type=float, help="camera near plane")
+    r.add_argument("--far", type=float, help="camera far plane")
+    r.add_argument("--fov", type=float,
+                   help="horizontal field of view, degrees")
+    r.add_argument("--impl", default="auto",
+                   choices=("auto", "jnp", "pallas", "fused"))
+    r.add_argument("--sections", type=int, default=1,
+                   help="split the frame into N halo-overlapped row "
+                   "sections (bounds peak HBM for huge frames)")
+    r.add_argument("--debug-dump", metavar="PATH",
+                   help="also dump the intermediate-buffer pyramid "
+                   "(.npz file, or a zarr directory)")
+
+    s = sub.add_parser("serve", help="start the HTTP AO endpoint")
+    s.add_argument("args", nargs=argparse.REMAINDER,
+                   help="arguments passed through to examples/serve.py")
+    return ap
+
+
+# -- image IO ---------------------------------------------------------------
+
+def _load_image(path: str) -> tuple[np.ndarray, bool]:
+    """Load a frame; returns (array, was_png)."""
+    if path.lower().endswith(".png"):
+        from PIL import Image
+
+        img = np.asarray(Image.open(path))
+        scale = 65535.0 if img.dtype == np.uint16 else 255.0
+        return np.asarray(img, np.float32) / scale, True
+    from tpuao.utils.frameio import load_pfm
+
+    return load_pfm(path), False
+
+
+def _save_image(path: str, arr: np.ndarray) -> None:
+    if path.lower().endswith(".png"):
+        from PIL import Image
+
+        a = np.asarray(arr, np.float32)
+        Image.fromarray(
+            (np.clip(a, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)).save(path)
+        return
+    from tpuao.utils.frameio import save_pfm
+
+    save_pfm(path, np.asarray(arr, np.float32))
+
+
+# -- subcommands ------------------------------------------------------------
+
+def _cmd_info(_a) -> int:
+    import jax
+
+    import tpuao
+
+    try:
+        devs = jax.devices()
+        dev_info = {"backend": jax.default_backend(),
+                    "devices": [str(d) for d in devs]}
+    except Exception as e:  # no backend reachable
+        dev_info = {"backend": None, "error": str(e)}
+    print(json.dumps({
+        "tpuao": tpuao.__version__,
+        "jax": jax.__version__,
+        **dev_info,
+    }, indent=2))
+    return 0
+
+
+def _cmd_render(a) -> int:
+    from tpuao.models.pipeline import AmbientOcclusionEngine
+    from tpuao.models.presets import preset
+    from tpuao.params import AOParams, CameraParams
+
+    depth, was_png = _load_image(a.input)
+    if depth.ndim != 2:
+        print(f"error: depth must be single-channel, got {depth.shape}",
+              file=sys.stderr)
+        return 2
+
+    if a.config:
+        eng = AmbientOcclusionEngine.from_config(a.config, impl=a.impl)
+        params, camera = eng.params, eng.camera
+    else:
+        params = preset(a.preset) if a.preset else AOParams()
+        camera = CameraParams()
+    tunables = {k: getattr(a, k) for k in PARAM_RANGES
+                if getattr(a, k) is not None}
+    if tunables:
+        params = params.replace(**tunables)
+    cam_kw = {}
+    if a.near is not None:
+        cam_kw["near"] = a.near
+    if a.far is not None:
+        cam_kw["far"] = a.far
+    if a.fov is not None:
+        import math
+
+        cam_kw["tan_half_fov_h"] = math.tan(math.radians(a.fov) / 2)
+    depth_mode = a.depth_mode or ("linear" if was_png else None)
+    if depth_mode:
+        cam_kw["depth_mode"] = depth_mode
+    if cam_kw:
+        camera = camera.replace(**cam_kw)
+    params = params.validate()
+
+    normals = color = None
+    if a.normals:
+        normals, _ = _load_image(a.normals)
+        if not params.use_normals:  # --normals implies the normals path
+            params = params.replace(use_normals=True)
+    if a.color:
+        color, _ = _load_image(a.color)
+
+    if a.sections > 1:
+        from tpuao.parallel.sections import render_frame_sections
+
+        ao = render_frame_sections(depth, camera, params,
+                                   n_sections=a.sections, impl=a.impl,
+                                   normals=normals, color=color)
+        if a.debug_dump:
+            print("error: --debug-dump needs the monolithic path "
+                  "(drop --sections)", file=sys.stderr)
+            return 2
+    else:
+        eng = AmbientOcclusionEngine(camera, params, impl=a.impl)
+        if a.debug_dump:
+            ao, dbg = eng.render(depth, normals=normals, color=color,
+                                 debug_outputs=True)
+            from tpuao.utils.debug_dump import dump_debug_buffers
+
+            dump_debug_buffers(dbg, a.debug_dump)
+        else:
+            ao = eng.render(depth, normals=normals, color=color)
+
+    ao = np.asarray(ao)
+    _save_image(a.output, ao)
+    print(f"{a.input} {depth.shape[1]}x{depth.shape[0]} -> {a.output} "
+          f"(ao mean {float(np.mean(ao)):.4f}, "
+          f"min {float(np.min(ao)):.4f})")
+    return 0
+
+
+def _cmd_serve(a) -> int:
+    serve_py = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "examples", "serve.py")
+    if not os.path.exists(serve_py):
+        print("error: examples/serve.py not found next to the package "
+              "(serve runs from a source checkout)", file=sys.stderr)
+        return 2
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("tpuao_serve", serve_py)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.main(["serve"] + list(a.args))
+    return 0
+
+
+def main(argv=None) -> int:
+    if os.environ.get("JAX_PLATFORMS"):
+        # the axon sitecustomize force-sets jax_platforms in every
+        # process; honor an explicit JAX_PLATFORMS=cpu anyway
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    a = _build_parser().parse_args(argv)
+    return {"info": _cmd_info, "render": _cmd_render,
+            "serve": _cmd_serve}[a.cmd](a)
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())
