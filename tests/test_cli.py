@@ -91,6 +91,36 @@ def test_cli_tunable_flags_cover_param_ranges():
         assert f"--{name.replace('_', '-')}" in render_help, name
 
 
+def test_cli_render_sequence(tmp_path):
+    # 5 frames, batch 2: tests the padded tail batch + one compiled shape
+    outd = tmp_path / "out"
+    refs = []
+    for i in range(5):
+        z = F.spheres_on_plane(64, 96, n_spheres=2, seed=i).astype(
+            np.float32)
+        save_pfm(str(tmp_path / f"f_{i:03d}.pfm"), z)
+        refs.append(np.asarray(render_frame(
+            z, CameraParams(depth_mode="linear"), AOParams())))
+    assert main(["render", str(tmp_path / "f_*.pfm"), str(outd),
+                 "--depth-mode", "linear", "--batch", "2"]) == 0
+    for i in range(5):
+        got = load_pfm(str(outd / f"f_{i:03d}_ao.pfm"))
+        np.testing.assert_allclose(got, refs[i], atol=2e-6, err_msg=str(i))
+
+
+def test_cli_render_sequence_errors(tmp_path):
+    assert main(["render", str(tmp_path / "none_*.pfm"),
+                 str(tmp_path / "o")]) == 2
+    save_pfm(str(tmp_path / "a.pfm"), np.full((32, 64), 0.5, np.float32))
+    save_pfm(str(tmp_path / "b.pfm"), np.full((32, 64), 0.5, np.float32))
+    # normals glob count mismatch
+    assert main(["render", str(tmp_path / "?.pfm"), str(tmp_path / "o"),
+                 "--normals", str(tmp_path / "a.pfm")]) == 2
+    # sections is single-frame only
+    assert main(["render", str(tmp_path / "?.pfm"), str(tmp_path / "o"),
+                 "--sections", "2"]) == 2
+
+
 @pytest.mark.slow
 def test_cli_normals_color(tmp_path):
     z, nrm = F.spheres_on_plane(96, 128, n_spheres=3, seed=7,

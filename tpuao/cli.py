@@ -39,11 +39,19 @@ def _build_parser() -> argparse.ArgumentParser:
 
     sub.add_parser("info", help="backend / device / version report")
 
-    r = sub.add_parser("render", help="depth image in -> AO image out")
-    r.add_argument("input", help="depth frame (.pfm 'Pf', or grayscale .png)")
-    r.add_argument("output", help="AO output (.pfm, or 8-bit .png)")
-    r.add_argument("--normals", help="normals frame (3-channel 'PF' .pfm)")
-    r.add_argument("--color", help="color frame to composite (.pfm/.png)")
+    r = sub.add_parser("render", help="depth image(s) in -> AO image(s) out")
+    r.add_argument("input", help="depth frame (.pfm 'Pf', or grayscale "
+                   ".png), or a quoted glob for a frame sequence")
+    r.add_argument("output", help="AO output (.pfm, or 8-bit .png); a "
+                   "directory when input is a sequence")
+    r.add_argument("--normals", help="normals frame (3-channel 'PF' .pfm); "
+                   "glob in sequence mode")
+    r.add_argument("--color", help="color frame to composite (.pfm/.png); "
+                   "glob in sequence mode")
+    r.add_argument("--batch", type=int, default=4,
+                   help="frames per device batch in sequence mode")
+    r.add_argument("--out-format", choices=("pfm", "png"), default="pfm",
+                   help="output format in sequence mode")
     r.add_argument("--config", help="engine config JSON (save_config)")
     r.add_argument("--preset", help="quality preset "
                    "(VERY_LOW|LOW|MEDIUM|HIGH|ULTRA)")
@@ -121,16 +129,11 @@ def _cmd_info(_a) -> int:
     return 0
 
 
-def _cmd_render(a) -> int:
+def _build_component(a, was_png: bool):
+    """CLI flags -> validated (camera, params)."""
     from tpuao.models.pipeline import AmbientOcclusionEngine
     from tpuao.models.presets import preset
     from tpuao.params import AOParams, CameraParams
-
-    depth, was_png = _load_image(a.input)
-    if depth.ndim != 2:
-        print(f"error: depth must be single-channel, got {depth.shape}",
-              file=sys.stderr)
-        return 2
 
     if a.config:
         eng = AmbientOcclusionEngine.from_config(a.config, impl=a.impl)
@@ -156,13 +159,26 @@ def _cmd_render(a) -> int:
         cam_kw["depth_mode"] = depth_mode
     if cam_kw:
         camera = camera.replace(**cam_kw)
-    params = params.validate()
+    if a.normals and not params.use_normals:
+        params = params.replace(use_normals=True)  # --normals implies it
+    return camera, params.validate()
+
+
+def _cmd_render(a) -> int:
+    if any(c in a.input for c in "*?["):
+        return _cmd_render_sequence(a)
+    from tpuao.models.pipeline import AmbientOcclusionEngine
+
+    depth, was_png = _load_image(a.input)
+    if depth.ndim != 2:
+        print(f"error: depth must be single-channel, got {depth.shape}",
+              file=sys.stderr)
+        return 2
+    camera, params = _build_component(a, was_png)
 
     normals = color = None
     if a.normals:
         normals, _ = _load_image(a.normals)
-        if not params.use_normals:  # --normals implies the normals path
-            params = params.replace(use_normals=True)
     if a.color:
         color, _ = _load_image(a.color)
 
@@ -192,6 +208,81 @@ def _cmd_render(a) -> int:
     print(f"{a.input} {depth.shape[1]}x{depth.shape[0]} -> {a.output} "
           f"(ao mean {float(np.mean(ao)):.4f}, "
           f"min {float(np.min(ao)):.4f})")
+    return 0
+
+
+def _cmd_render_sequence(a) -> int:
+    """Glob input -> directory of AO frames, prefetcher-pipelined.
+
+    Frames stream through ``utils.frameio.FramePrefetcher`` in batches of
+    ``--batch`` (decode of batch k+1 overlaps the device render of batch
+    k); the final partial batch is padded by repeating its last frame so
+    every launch reuses ONE compiled batched program, then cropped.  All
+    frames in a sequence must share one shape (the video contract of
+    ``load_pfm_batch``).
+    """
+    import glob as globlib
+
+    from tpuao.models.pipeline import AmbientOcclusionEngine
+    from tpuao.utils.frameio import FramePrefetcher
+
+    dpaths = sorted(globlib.glob(a.input))
+    if not dpaths:
+        print(f"error: no files match {a.input!r}", file=sys.stderr)
+        return 2
+    if any(not p.lower().endswith(".pfm") for p in dpaths):
+        print("error: sequence mode streams PFM frames (the prefetcher's "
+              "native codec); convert PNGs first or render per-frame",
+              file=sys.stderr)
+        return 2
+    if a.debug_dump or a.sections > 1:
+        print("error: --debug-dump/--sections need single-frame mode",
+              file=sys.stderr)
+        return 2
+    streams = [dpaths]
+    for pat, name in ((a.normals, "--normals"), (a.color, "--color")):
+        if pat:
+            p = sorted(globlib.glob(pat))
+            if len(p) != len(dpaths):
+                print(f"error: {name} matches {len(p)} files, "
+                      f"depth matches {len(dpaths)}", file=sys.stderr)
+                return 2
+            streams.append(p)
+    camera, params = _build_component(a, was_png=False)
+    eng = AmbientOcclusionEngine(camera, params, impl=a.impl)
+
+    bs = max(1, a.batch)
+    batches = []
+    for i in range(0, len(dpaths), bs):
+        sl = tuple(s[i:i + bs] for s in streams)
+        batches.append(sl if len(streams) > 1 else sl[0])
+    os.makedirs(a.output, exist_ok=True)
+
+    done = 0
+    with FramePrefetcher(batches) as pf:
+        for got in pf:
+            arrs = list(got) if isinstance(got, tuple) else [got]
+            n = arrs[0].shape[0]
+            if n < bs and done + n < len(dpaths):  # mid-stream mismatch
+                raise AssertionError("short batch before the end")
+            if n < bs:  # pad the tail batch: one compiled shape total
+                arrs = [np.concatenate([x, np.repeat(x[-1:], bs - n, 0)])
+                        for x in arrs]
+            it = iter(arrs[1:])
+            ao = np.asarray(eng.render(
+                arrs[0],
+                normals=next(it) if a.normals else None,
+                color=next(it) if a.color else None))[:n]
+            for j in range(n):
+                stem = os.path.splitext(os.path.basename(
+                    dpaths[done + j]))[0]
+                _save_image(os.path.join(a.output,
+                                         f"{stem}_ao.{a.out_format}"),
+                            ao[j])
+            done += n
+    kinds = "depth" + ("+normals" if a.normals else "") + \
+        ("+color" if a.color else "")
+    print(f"{done} frames -> {a.output} (batch {bs}, {kinds})")
     return 0
 
 
