@@ -2,23 +2,10 @@
 """Minimal AO serving endpoint: PFM depth in -> PFM (or PNG) AO out.
 
     python examples/serve.py [port] [--config cfg.json] [--batch 4]
+                             [--warmup HxW]
 
-The deployment glue layer (SURVEY.md SS2 L4 analog for a service instead
-of a game engine): one warm `AmbientOcclusionEngine` per process; the
-compiled frame program is cached per input shape, and per-request
-tunables ride as traced scalars so they NEVER recompile.
-
-API (stdlib HTTP, threaded):
-
-  POST /ao            body = PFM ('Pf' depth; normals/color variants via
-                      multipart are left to real deployments)
-      ?strength=2.0&rejection_falloff=5.0&...   per-request tunables
-      ?out=pfm (default) | png
-  GET  /config        the engine's current AOParams/CameraParams JSON
-  GET  /healthz       200 once a frame has rendered (readiness: the
-                      first compile takes tens of seconds on a remote
-                      TPU; start with --warmup HxW to pre-compile, or
-                      gate on /healthz turning 200 after a warmup POST)
+Thin front end over ``tpuao.serving`` (the deployment-layer component:
+AOHandler + make_server; see its module docstring for the HTTP API).
 
 Example round-trip:
 
@@ -33,12 +20,8 @@ Example round-trip:
     PY
 """
 
-import json
 import os
 import sys
-import threading
-from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qsl, urlparse
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -50,117 +33,7 @@ if os.environ.get("JAX_PLATFORMS"):
 import numpy as np
 
 from tpuao.models.pipeline import AmbientOcclusionEngine
-from tpuao.params import PARAM_RANGES, CameraParams, params_to_dict
-from tpuao.utils.frameio import dumps_pfm, loads_pfm
-
-
-class AOHandler(BaseHTTPRequestHandler):
-    def log_message(self, fmt, *args):  # quiet by default
-        if self.server.verbose:
-            super().log_message(fmt, *args)
-
-    def _send(self, code, body, ctype="application/octet-stream"):
-        self.send_response(code)
-        self.send_header("Content-Type", ctype)
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
-
-    def do_GET(self):
-        path = urlparse(self.path).path
-        if path == "/healthz":
-            if self.server.warmed:
-                self._send(200, b"ok", "text/plain")
-            else:
-                self._send(503, b"warming: no frame rendered yet",
-                           "text/plain")
-        elif path == "/config":
-            eng = self.server.engine
-            body = json.dumps({"ao": params_to_dict(eng.params),
-                               "camera": params_to_dict(eng.camera)},
-                              indent=2).encode()
-            self._send(200, body, "application/json")
-        else:
-            self._send(404, b"not found", "text/plain")
-
-    def do_POST(self):
-        url = urlparse(self.path)
-        if url.path != "/ao":
-            self._send(404, b"not found", "text/plain")
-            return
-        try:
-            q = dict(parse_qsl(url.query))
-            out_fmt = q.pop("out", "pfm")
-            if out_fmt not in ("pfm", "png"):
-                # validate BEFORE rendering: a bad out= must not burn a
-                # full device render just to 400 (review r3)
-                raise ValueError(f"unknown out={out_fmt}")
-            tunables = {k: float(v) for k, v in q.items()
-                        if k in PARAM_RANGES}
-            unknown = set(q) - set(tunables)
-            if unknown:
-                raise ValueError(f"unknown query params: {sorted(unknown)}")
-            n = int(self.headers.get("Content-Length", "0"))
-            if not 0 < n <= self.server.max_body:
-                raise ValueError(
-                    f"body size {n} outside (0, {self.server.max_body}]")
-            depth = loads_pfm(self.rfile.read(n))
-            eng = self.server.engine
-            if tunables or self.server.batcher is None:
-                with self.server.lock:
-                    # traced scalars: swapping tunables per request
-                    # reuses the cached compiled program (validated)
-                    params = eng.params.replace(**tunables).validate() \
-                        if tunables else eng.params
-                    from tpuao.models.pipeline import render_frame
-
-                    ao = np.asarray(render_frame(depth, eng.camera,
-                                                 params, impl=eng.impl))
-            else:
-                # default-tunable requests ride the micro-batcher: many
-                # concurrent clients share fixed-shape batched programs
-                ao = self.server.batcher.submit(depth).result()
-        except ValueError as e:
-            self._send(400, str(e).encode(), "text/plain")
-            return
-        self.server.warmed = True
-        if out_fmt == "png":
-            import io
-
-            from PIL import Image
-
-            buf = io.BytesIO()
-            Image.fromarray(
-                (np.clip(ao, 0, 1) * 255 + 0.5).astype(np.uint8)
-            ).save(buf, format="PNG")
-            self._send(200, buf.getvalue(), "image/png")
-        else:  # "pfm" (out_fmt validated before the render)
-            self._send(200, dumps_pfm(ao), "application/x-pfm")
-
-
-def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
-                verbose: bool = False,
-                batch_size: int = 0) -> ThreadingHTTPServer:
-    """Build (not start) the server; ``port=0`` picks a free port.
-
-    ``batch_size > 0`` routes default-tunable requests through a
-    ``utils.batching.MicroBatcher`` so concurrent clients share
-    fixed-shape batched programs."""
-    srv = ThreadingHTTPServer(("127.0.0.1", port), AOHandler)
-    srv.engine = engine or AmbientOcclusionEngine(
-        CameraParams(depth_mode="linear"))
-    srv.lock = threading.Lock()  # one frame in flight per process
-    srv.verbose = verbose
-    srv.warmed = False  # /healthz turns 200 after the first render
-    srv.max_body = 512 << 20  # an 8K 'PF' frame is ~400 MB; reject above
-    srv.batcher = None
-    if batch_size:
-        from tpuao.utils.batching import MicroBatcher
-
-        eng = srv.engine
-        srv.batcher = MicroBatcher(
-            lambda d: eng.render(d), batch_size=batch_size)
-    return srv
+from tpuao.serving import AOHandler, make_server  # noqa: F401 (re-export)
 
 
 def main(argv):

@@ -179,9 +179,7 @@ def test_serve_endpoint_batched():
     import threading
     import urllib.request
 
-    sys.path.insert(0, "/root/repo/examples")
-    import serve as S
-
+    from tpuao import serving as S
     from tpuao.models.pipeline import render_frame
     from tpuao.params import AOParams, CameraParams
     from tpuao.utils import fixtures as F
