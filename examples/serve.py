@@ -46,9 +46,18 @@ def main(argv):
                     help="micro-batch size for default-tunable requests")
     ap.add_argument("--warmup", metavar="HxW",
                     help="pre-compile for this frame shape before serving")
+    ap.add_argument("--views", type=int, default=0,
+                    help="shard each batch flush over an N-device view "
+                    "mesh (fleet serving; implies --batch N)")
     a = ap.parse_args(argv[1:])
     eng = AmbientOcclusionEngine.from_config(a.config) if a.config else None
-    srv = make_server(a.port, eng, verbose=True, batch_size=a.batch)
+    mesh = None
+    if a.views:
+        from tpuao.parallel.sharding import make_mesh
+
+        mesh = make_mesh(a.views)
+    srv = make_server(a.port, eng, verbose=True, batch_size=a.batch,
+                      mesh=mesh)
     if a.warmup:
         h, w = (int(v) for v in a.warmup.split("x"))
         np.asarray(srv.engine.render(np.full((h, w), 0.5, np.float32)))

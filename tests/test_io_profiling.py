@@ -214,6 +214,51 @@ def test_serve_endpoint_batched():
         srv.server_close()
 
 
+def test_serve_endpoint_view_sharded():
+    """mesh= routes batcher flushes through render_views (the config-5
+    fleet-serving shape): each flush renders view-sharded over the CPU
+    mesh; concurrent clients still get their own frames back."""
+    import threading
+    import urllib.request
+
+    from tpuao import serving as S
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.parallel.sharding import make_mesh
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0, mesh=make_mesh(4))  # batch_size defaults to 4
+    assert srv.batcher is not None and srv.batcher._bs == 4
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        frames = [F.spheres_on_plane(96, 128, n_spheres=3, seed=40 + i
+                                     ).astype(np.float32) for i in range(4)]
+        results = {}
+
+        def post(i):
+            req = urllib.request.Request(f"{base}/ao",
+                                         data=dumps_pfm(frames[i]))
+            results[i] = loads_pfm(urllib.request.urlopen(req).read())
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(4)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join(timeout=300)
+        cam = CameraParams(depth_mode="linear")
+        for i, z in enumerate(frames):
+            want = np.asarray(render_frame(z, cam, AOParams()))
+            np.testing.assert_allclose(results[i], want, atol=1e-6,
+                                       err_msg=str(i))
+    finally:
+        srv.shutdown()
+        srv.server_close()  # AOServer.server_close also closes the batcher
+    assert srv.batcher._closed
+
+
 def test_calibrate_script():
     import subprocess
     import sys

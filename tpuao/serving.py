@@ -118,26 +118,44 @@ class AOHandler(BaseHTTPRequestHandler):
             self._send(200, dumps_pfm(ao), "application/x-pfm")
 
 
+class AOServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that also shuts the micro-batcher down."""
+
+    batcher = None
+
+    def server_close(self):
+        if self.batcher is not None:
+            self.batcher.close()
+        super().server_close()
+
+
 def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
                 verbose: bool = False,
-                batch_size: int = 0) -> ThreadingHTTPServer:
+                batch_size: int = 0, mesh=None) -> AOServer:
     """Build (not start) the server; ``port=0`` picks a free port.
 
     ``batch_size > 0`` routes default-tunable requests through a
     ``utils.batching.MicroBatcher`` so concurrent clients share
-    fixed-shape batched programs."""
-    srv = ThreadingHTTPServer(("127.0.0.1", port), AOHandler)
+    fixed-shape batched programs.  ``mesh`` (a ``jax.sharding.Mesh``
+    from ``parallel.sharding.make_mesh``) additionally runs each flush
+    VIEW-SHARDED across the mesh — the [BJ] config-5 fleet-serving
+    shape: ``batch_size`` frames per flush, one view per chip when
+    ``batch_size == mesh.devices.size``.  Requests that override
+    tunables bypass the batcher and render single-chip."""
+    srv = AOServer(("127.0.0.1", port), AOHandler)
     srv.engine = engine or AmbientOcclusionEngine(
         CameraParams(depth_mode="linear"))
     srv.lock = threading.Lock()  # one frame in flight per process
     srv.verbose = verbose
     srv.warmed = False  # /healthz turns 200 after the first render
     srv.max_body = 512 << 20  # an 8K 'PF' frame is ~400 MB; reject above
-    srv.batcher = None
+    if mesh is not None and not batch_size:
+        batch_size = int(mesh.devices.size)  # one view per chip
     if batch_size:
         from tpuao.utils.batching import MicroBatcher
 
         eng = srv.engine
-        srv.batcher = MicroBatcher(
-            lambda d: eng.render(d), batch_size=batch_size)
+        render = (eng.render if mesh is None
+                  else (lambda d: eng.render_views(d, mesh=mesh)))
+        srv.batcher = MicroBatcher(render, batch_size=batch_size)
     return srv
