@@ -153,6 +153,18 @@ def test_serve_endpoint():
         want = np.asarray(render_frame(z, cam, AOParams(strength=2.0)))
         np.testing.assert_allclose(ao, want, atol=1e-6)
 
+        # per-request camera override (traced scalars, like tunables)
+        import math
+
+        req = urllib.request.Request(f"{base}/ao?fov=80&far=50",
+                                     data=dumps_pfm(z))
+        ao = loads_pfm(urllib.request.urlopen(req).read())
+        cam80 = CameraParams(
+            depth_mode="linear", far=50.0,
+            tan_half_fov_h=math.tan(math.radians(80.0) / 2))
+        want = np.asarray(render_frame(z, cam80, AOParams()))
+        np.testing.assert_allclose(ao, want, atol=1e-6)
+
         # png output path
         resp = urllib.request.urlopen(urllib.request.Request(
             f"{base}/ao?out=png", data=dumps_pfm(z)))

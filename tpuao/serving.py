@@ -11,6 +11,7 @@ API (stdlib HTTP, threaded):
 
   POST /ao            body = PFM ('Pf' depth)
       ?strength=2.0&rejection_falloff=5.0&...   per-request tunables
+      ?near=0.1&far=100&fov=60                  per-request camera
       ?out=pfm (default) | png
   GET  /config        the engine's current AOParams/CameraParams JSON
   GET  /healthz       200 once a frame has rendered (readiness gate:
@@ -77,7 +78,9 @@ class AOHandler(BaseHTTPRequestHandler):
                 raise ValueError(f"unknown out={out_fmt}")
             tunables = {k: float(v) for k, v in q.items()
                         if k in PARAM_RANGES}
-            unknown = set(q) - set(tunables)
+            cam_over = {k: float(q[k]) for k in ("near", "far", "fov")
+                        if k in q}
+            unknown = set(q) - set(tunables) - set(cam_over)
             if unknown:
                 raise ValueError(f"unknown query params: {sorted(unknown)}")
             n = int(self.headers.get("Content-Length", "0"))
@@ -86,15 +89,24 @@ class AOHandler(BaseHTTPRequestHandler):
                     f"body size {n} outside (0, {self.server.max_body}]")
             depth = loads_pfm(self.rfile.read(n))
             eng = self.server.engine
-            if tunables or self.server.batcher is None:
+            if tunables or cam_over or self.server.batcher is None:
                 with self.server.lock:
-                    # traced scalars: swapping tunables per request
-                    # reuses the cached compiled program (validated)
+                    # traced scalars: swapping tunables OR camera
+                    # projection per request reuses the cached compiled
+                    # program (validated)
                     params = eng.params.replace(**tunables).validate() \
                         if tunables else eng.params
+                    camera = eng.camera
+                    if cam_over:
+                        import math
+
+                        if "fov" in cam_over:
+                            cam_over["tan_half_fov_h"] = math.tan(
+                                math.radians(cam_over.pop("fov")) / 2)
+                        camera = camera.replace(**cam_over)
                     from tpuao.models.pipeline import render_frame
 
-                    ao = np.asarray(render_frame(depth, eng.camera,
+                    ao = np.asarray(render_frame(depth, camera,
                                                  params, impl=eng.impl))
             else:
                 # default-tunable requests ride the micro-batcher: many
