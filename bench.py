@@ -39,8 +39,10 @@ def roofline(fn_jitted, measured_ms, h, w, *args, **traffic_kw):
     scheduled relayout bytes (VERDICT r2 item 7)."""
     compiled = fn_jitted.lower(*args).compile()
     flops, trans = RL.cost_counts(compiled)
-    return RL.floors_ms(measured_ms, h, w, flops, trans,
-                        relayout=RL.relayout_bytes(compiled), **traffic_kw)
+    out = RL.floors_ms(measured_ms, h, w, flops, trans,
+                       relayout=RL.relayout_bytes(compiled), **traffic_kw)
+    out["hbm"] = RL.hbm_mb(compiled)  # deployment peak-HBM record
+    return out
 
 # on-device chain length; default auto-calibrates to ~400 ms chains (the
 # relay's RTT jitter divides by the chain length -- see utils.profiling)

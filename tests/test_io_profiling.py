@@ -179,6 +179,15 @@ def test_serve_endpoint():
             assert False, "expected HTTP 400"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # observability: /stats counted every request above
+        stats = __import__("json").loads(
+            urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["requests"] == stats["ok"] + stats["errors"]
+        assert stats["errors"] == 1 and stats["ok"] == 3
+        assert stats["direct"] == 3  # no batcher; 400 rejected pre-route
+        assert stats["latency_ms"]["count"] == 3
+        assert stats["latency_ms"]["p50"] <= stats["latency_ms"]["max"]
     finally:
         srv.shutdown()
         srv.server_close()
@@ -220,6 +229,14 @@ def test_serve_endpoint_batched():
         for i, z in enumerate(frames):
             want = np.asarray(render_frame(z, cam, AOParams()))
             np.testing.assert_allclose(results[i], want, atol=1e-6)
+
+        # /stats exposes the batcher's flush accounting
+        stats = __import__("json").loads(
+            urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["batched"] == 4 and stats["ok"] == 4
+        b = stats["batcher"]
+        assert b["frames"] == 4
+        assert b["frames"] + b["padded"] == 2 * b["flushes"]
     finally:
         srv.batcher.close()
         srv.shutdown()

@@ -74,6 +74,24 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="also dump the intermediate-buffer pyramid "
                    "(.npz file, or a zarr directory)")
 
+    r.add_argument("--autotune-cache", metavar="PATH",
+                   help="load per-shape scoped-VMEM budgets tuned by "
+                   "`tpuao tune --save PATH` before rendering")
+
+    t = sub.add_parser("tune", help="autotune the scoped-VMEM fusion "
+                       "budget for one frame shape (on-device sweep)")
+    t.add_argument("shape", help="frame shape HxW, e.g. 1440x2560")
+    t.add_argument("--normals", action="store_true",
+                   help="tune the normals-weighted program (its optimum "
+                   "differs: the slope planes raise the live set)")
+    t.add_argument("--impl", default="auto",
+                   choices=("auto", "jnp", "pallas", "fused"))
+    t.add_argument("--candidates", metavar="MIB,MIB,...",
+                   help="budgets to sweep in MiB (default 16,20,24,32,48,64;"
+                   " one 20-90 s remote compile each)")
+    t.add_argument("--save", metavar="PATH",
+                   help="merge the winner into this JSON cache file")
+
     s = sub.add_parser("serve", help="start the HTTP AO endpoint")
     s.add_argument("args", nargs=argparse.REMAINDER,
                    help="arguments passed through to examples/serve.py")
@@ -164,7 +182,45 @@ def _build_component(a, was_png: bool):
     return camera, params.validate()
 
 
+def _cmd_tune(a) -> int:
+    import jax
+
+    from tpuao.utils import autotune
+
+    try:
+        h, w = (int(v) for v in a.shape.lower().split("x"))
+    except ValueError:
+        print(f"error: shape must be HxW, got {a.shape!r}", file=sys.stderr)
+        return 2
+    if jax.default_backend() != "tpu":
+        print("warning: not on a TPU backend -- the scoped-VMEM flag is "
+              "dropped and the sweep is meaningless; run on the device "
+              "you deploy to", file=sys.stderr)
+    candidates = autotune.DEFAULT_CANDIDATES_KIB
+    if a.candidates:
+        candidates = tuple(int(float(v) * 1024)
+                           for v in a.candidates.split(","))
+    res = autotune.tune_frame((h, w), use_normals=a.normals, impl=a.impl,
+                              candidates=candidates)
+    if a.save:
+        if os.path.exists(a.save):
+            # merge: keep other shapes' entries, but a stale file entry
+            # for THIS shape must not clobber the fresh measurement
+            autotune.load_tuned(a.save)
+            from tpuao.utils.xla_opts import set_tuned_vmem
+
+            set_tuned_vmem(res["pixels"], res["use_normals"],
+                           res["best_kib"])
+        res["saved"] = autotune.save_tuned(a.save)
+    print(json.dumps(res, indent=2))
+    return 0
+
+
 def _cmd_render(a) -> int:
+    if a.autotune_cache:
+        from tpuao.utils import autotune
+
+        autotune.load_tuned(a.autotune_cache)
     if any(c in a.input for c in "*?["):
         return _cmd_render_sequence(a)
     from tpuao.models.pipeline import AmbientOcclusionEngine
@@ -311,7 +367,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     a = _build_parser().parse_args(argv)
     return {"info": _cmd_info, "render": _cmd_render,
-            "serve": _cmd_serve}[a.cmd](a)
+            "tune": _cmd_tune, "serve": _cmd_serve}[a.cmd](a)
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -17,6 +17,9 @@ API (stdlib HTTP, threaded):
   GET  /healthz       200 once a frame has rendered (readiness gate:
                       the first compile takes tens of seconds on a
                       remote TPU; warm up before serving)
+  GET  /stats         JSON observability counters: requests/ok/errors,
+                      direct-vs-batched routing, latency p50/p95/max
+                      over the last 1024 requests, batcher flush stats
 
 ``examples/serve.py`` is the runnable front end (argparse + warmup).
 """
@@ -25,6 +28,8 @@ from __future__ import annotations
 
 import json
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qsl, urlparse
 
@@ -55,6 +60,22 @@ class AOHandler(BaseHTTPRequestHandler):
             else:
                 self._send(503, b"warming: no frame rendered yet",
                            "text/plain")
+        elif path == "/stats":
+            srv = self.server
+            with srv.stats_lock:
+                stats = dict(srv.stats)
+                lat = sorted(srv.latencies)
+            if lat:
+                stats["latency_ms"] = {
+                    "count": len(lat),
+                    "p50": round(lat[len(lat) // 2], 2),
+                    "p95": round(lat[int(len(lat) * 0.95)
+                                     if len(lat) > 1 else 0], 2),
+                    "max": round(lat[-1], 2)}
+            if srv.batcher is not None:
+                stats["batcher"] = srv.batcher.stats()
+            self._send(200, json.dumps(stats, indent=2).encode(),
+                       "application/json")
         elif path == "/config":
             eng = self.server.engine
             body = json.dumps({"ao": params_to_dict(eng.params),
@@ -64,11 +85,17 @@ class AOHandler(BaseHTTPRequestHandler):
         else:
             self._send(404, b"not found", "text/plain")
 
+    def _count(self, key):
+        with self.server.stats_lock:
+            self.server.stats[key] += 1
+
     def do_POST(self):
         url = urlparse(self.path)
         if url.path != "/ao":
             self._send(404, b"not found", "text/plain")
             return
+        t0 = time.perf_counter()
+        self._count("requests")
         try:
             q = dict(parse_qsl(url.query))
             out_fmt = q.pop("out", "pfm")
@@ -89,7 +116,9 @@ class AOHandler(BaseHTTPRequestHandler):
                     f"body size {n} outside (0, {self.server.max_body}]")
             depth = loads_pfm(self.rfile.read(n))
             eng = self.server.engine
-            if tunables or cam_over or self.server.batcher is None:
+            direct = tunables or cam_over or self.server.batcher is None
+            self._count("direct" if direct else "batched")
+            if direct:
                 with self.server.lock:
                     # traced scalars: swapping tunables OR camera
                     # projection per request reuses the cached compiled
@@ -113,9 +142,19 @@ class AOHandler(BaseHTTPRequestHandler):
                 # concurrent clients share fixed-shape batched programs
                 ao = self.server.batcher.submit(depth).result()
         except ValueError as e:
+            self._count("errors")
             self._send(400, str(e).encode(), "text/plain")
             return
+        except Exception as e:  # render/backend fault: a 500 the client
+            # can retry beats an aborted connection (and it is counted)
+            self._count("errors")
+            self._send(500, f"{type(e).__name__}: {e}".encode(),
+                       "text/plain")
+            return
         self.server.warmed = True
+        with self.server.stats_lock:
+            self.server.stats["ok"] += 1
+            self.server.latencies.append((time.perf_counter() - t0) * 1e3)
         if out_fmt == "png":
             import io
 
@@ -160,6 +199,10 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
     srv.lock = threading.Lock()  # one frame in flight per process
     srv.verbose = verbose
     srv.warmed = False  # /healthz turns 200 after the first render
+    srv.stats_lock = threading.Lock()
+    srv.stats = {"requests": 0, "ok": 0, "errors": 0,
+                 "direct": 0, "batched": 0}
+    srv.latencies = deque(maxlen=1024)  # end-to-end ms, ok requests only
     srv.max_body = 512 << 20  # an 8K 'PF' frame is ~400 MB; reject above
     if mesh is not None and not batch_size:
         batch_size = int(mesh.devices.size)  # one view per chip

@@ -44,8 +44,15 @@ class MicroBatcher:
         self._lock = threading.Condition()
         self._queues: dict[tuple, deque] = defaultdict(deque)
         self._closed = False
+        self._stats = {"flushes": 0, "frames": 0, "padded": 0}
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
+
+    def stats(self) -> dict:
+        """Flush counters (observability): a high ``padded``/``frames``
+        ratio means batch_size exceeds the real concurrency."""
+        with self._lock:
+            return dict(self._stats)
 
     # -- client side -------------------------------------------------------
     def submit(self, depth) -> Future:
@@ -99,6 +106,10 @@ class MicroBatcher:
             frames = [it[0] for it in items]
             pad = self._bs - len(frames)
             batch = np.stack(frames + [frames[-1]] * pad)
+            with self._lock:
+                self._stats["flushes"] += 1
+                self._stats["frames"] += len(frames)
+                self._stats["padded"] += pad
             try:
                 out = np.asarray(self._render(batch))
                 for i, (_, fut, _) in enumerate(items):

@@ -33,7 +33,8 @@ import jax.numpy as jnp
 
 def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
                    return_min: bool = False, pixels: int | None = None,
-                   use_normals: bool = False):
+                   use_normals: bool = False,
+                   compiler_options: dict | None = None):
     """Median per-invocation device time of ``fn(*args)`` in milliseconds
     (``return_min=True`` -> ``(median, min)`` over the repeats).
 
@@ -65,13 +66,18 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
     # trailing dims, which is the frame for every tpuao program;
     # ``pixels`` overrides (e.g. the fused-sections program wants the
     # SECTION working set, not the whole frame)
-    if pixels is None:
-        shape = getattr(args[0], "shape", ())
-        if len(shape) >= 2:
-            pixels = int(shape[-2]) * int(shape[-1])
-    compiled = jax.jit(chained, static_argnums=0,
-                       compiler_options=tpu_compiler_options(pixels,
-                                                             use_normals))
+    if compiler_options is not None:
+        # explicit override (the autotune sweep times the SAME program
+        # under each candidate budget); dropped off-TPU, where the
+        # xla_tpu_* flags are unknown to the compiler
+        opts = compiler_options if jax.default_backend() == "tpu" else None
+    else:
+        if pixels is None:
+            shape = getattr(args[0], "shape", ())
+            if len(shape) >= 2:
+                pixels = int(shape[-2]) * int(shape[-1])
+        opts = tpu_compiler_options(pixels, use_normals)
+    compiled = jax.jit(chained, static_argnums=0, compiler_options=opts)
     float(compiled(1, *args))
     if iters is None:
         # Two-point probes so the relay RTT cancels out of the estimate.

@@ -147,6 +147,32 @@ def relayout_bytes(compiled) -> int:
     return total
 
 
+def hbm_mb(compiled) -> dict:
+    """Peak-HBM summary (MB) from a compiled executable's buffer assignment.
+
+    The reference's analog is its ~15-render-texture inventory (SURVEY.md
+    SS3.0): a deployment sizes its HBM by ``args + outputs + temps``.
+    ``temp_mb`` is also the standing regression guard for the r1 interleave
+    layout bug (a 64x tile-padded temp shows up here long before OOM).
+    """
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:  # pragma: no cover - backend without the analysis
+        return {}
+    if ma is None:  # pragma: no cover
+        return {}
+
+    def mb(name):
+        return round(float(getattr(ma, name, 0) or 0) / 1e6, 1)
+
+    out = {"args_mb": mb("argument_size_in_bytes"),
+           "output_mb": mb("output_size_in_bytes"),
+           "temp_mb": mb("temp_size_in_bytes")}
+    out["total_mb"] = round(sum(out.values())
+                            - mb("alias_size_in_bytes"), 1)
+    return out
+
+
 def cost_counts(compiled) -> tuple[float | None, float]:
     """(flops, transcendentals) from a jax compiled executable."""
     try:

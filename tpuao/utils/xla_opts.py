@@ -12,6 +12,21 @@ BIG_FRAME_PIXELS = 16 << 20
 NORMALS_MID_PIXELS = 4 << 20
 
 
+# Autotuned per-shape overrides: (frame pixels, use_normals) -> KiB.
+# Filled by utils.autotune (exact-shape measurements beat the three
+# hand-measured size classes below for shapes nobody swept by hand);
+# consulted first by scoped_vmem_kib.
+_TUNED: dict[tuple[int, bool], int] = {}
+
+
+def set_tuned_vmem(pixels: int, use_normals: bool, kib: int) -> None:
+    _TUNED[(int(pixels), bool(use_normals))] = int(kib)
+
+
+def clear_tuned_vmem() -> None:
+    _TUNED.clear()
+
+
 def scoped_vmem_kib(pixels: int | None = None,
                     use_normals: bool = False) -> int:
     """Scoped-VMEM fusion budget in KiB, by frame-size class (measured,
@@ -37,6 +52,10 @@ def scoped_vmem_kib(pixels: int | None = None,
       16 MiB (21.96) over the depth-only 20 MiB (23.16); 24/32/48 all
       worse.
     """
+    if pixels is not None:
+        tuned = _TUNED.get((int(pixels), bool(use_normals)))
+        if tuned is not None:
+            return tuned
     if pixels is not None and pixels > BIG_FRAME_PIXELS:
         return 16384 if use_normals else 20480
     if use_normals and pixels is not None and pixels > NORMALS_MID_PIXELS:
