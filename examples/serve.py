@@ -61,8 +61,19 @@ def main(argv):
     if a.warmup:
         h, w = (int(v) for v in a.warmup.split("x"))
         np.asarray(srv.engine.render(np.full((h, w), 0.5, np.float32)))
+        if srv.batcher is not None:
+            # default-tunable traffic runs the BATCHED (possibly
+            # mesh-sharded) program, a different compile than the
+            # single-frame one above -- warm it too or the readiness
+            # gate lies and the first real request eats the compile
+            futs = [srv.batcher.submit(np.full((h, w), 0.5, np.float32))
+                    for _ in range(srv.batcher.batch_size)]
+            for f in futs:
+                f.result()
         srv.warmed = True
-        print(f"warmed up for {h}x{w}")
+        print(f"warmed up for {h}x{w}"
+              + (f" (batch {srv.batcher.batch_size})"
+                 if srv.batcher is not None else ""))
     print(f"tpuao serving on http://127.0.0.1:{srv.server_address[1]} "
           f"(POST /ao, GET /config, GET /healthz)")
     srv.serve_forever()

@@ -147,6 +147,28 @@ def test_cli_tune_and_cache(tmp_path, monkeypatch, capsys):
     capsys.readouterr()
 
 
+def test_cli_tune_refuses_foreign_device_cache(tmp_path, monkeypatch,
+                                               capsys):
+    """tune --save must not overwrite a cache tuned on other hardware
+    (save_tuned would rewrite it with only this process's entries)."""
+    from tpuao import cli
+
+    path = str(tmp_path / "c.json")
+    prior = {"device_kind": "TPU v9999",
+             "entries": [{"pixels": 5, "use_normals": False,
+                          "kib": 16384}]}
+    with open(path, "w") as f:
+        json.dump(prior, f)
+    monkeypatch.setattr(autotune, "device_time_ms",
+                        fake_timer({20480: 0.1, 49152: 0.2}))
+    rc = cli.main(["tune", "64x96", "--candidates", "20,48",
+                   "--save", path])
+    assert rc == 2
+    capsys.readouterr()
+    with open(path) as f:
+        assert json.load(f) == prior  # untouched
+
+
 def test_hbm_mb_reports_compiled_memory():
     from tpuao.utils import roofline as RL
 

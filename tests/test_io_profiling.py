@@ -188,6 +188,18 @@ def test_serve_endpoint():
         assert stats["direct"] == 3  # no batcher; 400 rejected pre-route
         assert stats["latency_ms"]["count"] == 3
         assert stats["latency_ms"]["p50"] <= stats["latency_ms"]["max"]
+
+        # a 3-channel 'PF' body is a 400 on the DIRECT path too (it
+        # would otherwise be misread as a leading batch of (W, 3)
+        # frames and return garbage with a 200)
+        bad3 = urllib.request.Request(
+            f"{base}/ao?strength=1.5",
+            data=dumps_pfm(np.zeros((8, 8, 3), np.float32)))
+        try:
+            urllib.request.urlopen(bad3)
+            assert False, "expected HTTP 400 for 3-channel body"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
     finally:
         srv.shutdown()
         srv.server_close()

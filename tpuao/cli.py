@@ -115,11 +115,10 @@ def _load_image(path: str) -> tuple[np.ndarray, bool]:
 
 def _save_image(path: str, arr: np.ndarray) -> None:
     if path.lower().endswith(".png"):
-        from PIL import Image
+        # shared R8 quantization convention (utils/io.py::encode_ao_png)
+        from tpuao.utils.io import save_ao_image
 
-        a = np.asarray(arr, np.float32)
-        Image.fromarray(
-            (np.clip(a, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)).save(path)
+        save_ao_image(arr, path)
         return
     from tpuao.utils.frameio import save_pfm
 
@@ -204,6 +203,19 @@ def _cmd_tune(a) -> int:
                               candidates=candidates)
     if a.save:
         if os.path.exists(a.save):
+            with open(a.save) as f:
+                prior = json.load(f)
+            if (prior.get("entries")
+                    and prior.get("device_kind") not in (
+                        autotune._device_kind(), "unknown", None)):
+                # refusing beats silently deleting another fleet's
+                # measured budgets: save_tuned would rewrite the file
+                # with only this process's entries
+                print(f"error: {a.save} was tuned on "
+                      f"{prior.get('device_kind')!r}, this host is "
+                      f"{autotune._device_kind()!r}; use a separate "
+                      "cache file per device kind", file=sys.stderr)
+                return 2
             # merge: keep other shapes' entries, but a stale file entry
             # for THIS shape must not clobber the fresh measurement
             autotune.load_tuned(a.save)
@@ -239,15 +251,17 @@ def _cmd_render(a) -> int:
         color, _ = _load_image(a.color)
 
     if a.sections > 1:
+        if a.debug_dump:
+            # validate BEFORE rendering: the incompatibility must not
+            # burn the (remote-compiled) sections render just to error
+            print("error: --debug-dump needs the monolithic path "
+                  "(drop --sections)", file=sys.stderr)
+            return 2
         from tpuao.parallel.sections import render_frame_sections
 
         ao = render_frame_sections(depth, camera, params,
                                    n_sections=a.sections, impl=a.impl,
                                    normals=normals, color=color)
-        if a.debug_dump:
-            print("error: --debug-dump needs the monolithic path "
-                  "(drop --sections)", file=sys.stderr)
-            return 2
     else:
         eng = AmbientOcclusionEngine(camera, params, impl=a.impl)
         if a.debug_dump:

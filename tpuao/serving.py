@@ -115,6 +115,12 @@ class AOHandler(BaseHTTPRequestHandler):
                 raise ValueError(
                     f"body size {n} outside (0, {self.server.max_body}]")
             depth = loads_pfm(self.rfile.read(n))
+            if depth.ndim != 2:
+                # a 3-channel 'PF' body would be misread as a leading
+                # batch by the direct path (the batcher already rejects
+                # it); both routes must 400 consistently
+                raise ValueError("body must be a single-channel 'Pf' "
+                                 f"depth frame, got shape {depth.shape}")
             eng = self.server.engine
             direct = tunables or cam_over or self.server.batcher is None
             self._count("direct" if direct else "batched")
@@ -141,6 +147,15 @@ class AOHandler(BaseHTTPRequestHandler):
                 # default-tunable requests ride the micro-batcher: many
                 # concurrent clients share fixed-shape batched programs
                 ao = self.server.batcher.submit(depth).result()
+            # encode INSIDE the try: a missing Pillow (optional 'io'
+            # extra) or encode fault must surface as a counted 500, not
+            # an aborted connection after ok was already recorded
+            if out_fmt == "png":
+                from tpuao.utils.io import encode_ao_png
+
+                body, ctype = encode_ao_png(ao), "image/png"
+            else:
+                body, ctype = dumps_pfm(ao), "application/x-pfm"
         except ValueError as e:
             self._count("errors")
             self._send(400, str(e).encode(), "text/plain")
@@ -155,18 +170,7 @@ class AOHandler(BaseHTTPRequestHandler):
         with self.server.stats_lock:
             self.server.stats["ok"] += 1
             self.server.latencies.append((time.perf_counter() - t0) * 1e3)
-        if out_fmt == "png":
-            import io
-
-            from PIL import Image
-
-            buf = io.BytesIO()
-            Image.fromarray(
-                (np.clip(ao, 0, 1) * 255 + 0.5).astype(np.uint8)
-            ).save(buf, format="PNG")
-            self._send(200, buf.getvalue(), "image/png")
-        else:  # "pfm" (out_fmt validated before the render)
-            self._send(200, dumps_pfm(ao), "application/x-pfm")
+        self._send(200, body, ctype)
 
 
 class AOServer(ThreadingHTTPServer):

@@ -39,7 +39,7 @@ class MicroBatcher:
         if batch_size < 1:
             raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self._render = render_fn
-        self._bs = batch_size
+        self.batch_size = self._bs = batch_size  # batch_size is public
         self._delay = max_delay_ms / 1e3
         self._lock = threading.Condition()
         self._queues: dict[tuple, deque] = defaultdict(deque)

@@ -25,12 +25,27 @@ def load_depth_image(path: str, near01: float = 0.05,
     return near01 + a * (far01 - near01)
 
 
-def save_ao_image(ao, path: str) -> str:
-    """Save a [0,1] AO buffer as an 8-bit grayscale PNG."""
+def encode_ao_png(ao) -> bytes:
+    """Encode a [0,1] AO buffer as 8-bit grayscale PNG bytes.
+
+    THE quantization convention (round-half-up to R8) -- the CLI, the
+    serving endpoint, and ``save_ao_image`` all share this one encoder so
+    the convention cannot diverge between surfaces."""
+    import io
+
     from PIL import Image
 
     a = np.clip(np.asarray(ao, dtype=np.float64), 0.0, 1.0)
-    Image.fromarray((a * 255.0 + 0.5).astype(np.uint8)).save(path)
+    buf = io.BytesIO()
+    Image.fromarray((a * 255.0 + 0.5).astype(np.uint8)).save(buf,
+                                                             format="PNG")
+    return buf.getvalue()
+
+
+def save_ao_image(ao, path: str) -> str:
+    """Save a [0,1] AO buffer as an 8-bit grayscale PNG."""
+    with open(path, "wb") as f:
+        f.write(encode_ao_png(ao))
     return path
 
 
