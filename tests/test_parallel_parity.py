@@ -182,6 +182,53 @@ def test_grid_scan_with_normals_and_color():
                                    atol=1e-6)
 
 
+def test_spatial_channel_first_normals_auto_pad():
+    """Channel-first (3, H, W) normals through the auto_pad recursion:
+    canonicalized to channel-last BEFORE row padding, so the pad never
+    lands on the size-3 channel axis (review r3).  Must equal the
+    channel-last call bit-for-bit."""
+    h, w = 200, 128  # 200 % (64*2) != 0 -> auto_pad path on a 2-mesh
+    z, n = _scene(h, w, 91)
+    mesh = make_row_mesh(2)
+    out_cf = np.asarray(render_frame_spatial(
+        z, CAM, PAR2, mesh=mesh, normals=np.moveaxis(n, -1, 0)))
+    out_cl = np.asarray(render_frame_spatial(z, CAM, PAR2, mesh=mesh,
+                                             normals=n))
+    assert out_cf.shape == (h, w)
+    np.testing.assert_array_equal(out_cf, out_cl)
+
+
+def test_grid_channel_first_normals_auto_pad():
+    """Same defect class on the 2-D mesh: (V, 3, H, W) normals with a
+    misaligned height (review r3)."""
+    v, h, w = 2, 200, 128
+    zs, ns = zip(*[_scene(h, w, 93 + i) for i in range(v)])
+    zs, ns = np.stack(zs), np.stack(ns)
+    mesh = make_grid_mesh(2, 2)
+    out_cf = np.asarray(render_views_spatial(
+        zs, CAM, PAR2, mesh=mesh, normals=np.moveaxis(ns, -1, 1)))
+    out_cl = np.asarray(render_views_spatial(zs, CAM, PAR2, mesh=mesh,
+                                             normals=ns))
+    assert out_cf.shape == (v, h, w)
+    np.testing.assert_array_equal(out_cf, out_cl)
+
+
+def test_grid_default_mesh_prefers_view_parallelism():
+    """mesh=None with an 8-view batch on 8 devices must pick the 8x1
+    view-parallel grid, not 1x8 row bands (which would trip the
+    band >= halo constraint for modest frame heights — review r3)."""
+    v, h, w = 8, 384, 128
+    zs = np.stack([_scene(h, w, 100 + i)[0] for i in range(v)])
+    out = np.asarray(render_views_spatial(zs, CAM, PAR2))
+    assert out.shape == (v, h, w)
+    # nr=1: halo extension is pure edge replication -> padded-single ref
+    for i in (0, v - 1):
+        ref = np.asarray(render_frame(
+            _pad_rows(zs[i], HALO2), CAM, PAR2,
+            impl="jnp"))[HALO2: HALO2 + h]
+        np.testing.assert_allclose(out[i], ref, atol=1e-6)
+
+
 @pytest.mark.slow
 def test_spatial_realistic_1080p_geometry():
     """Real 1080p geometry (1088x1920, auto-padded to 1280 on 4 bands):

@@ -185,12 +185,10 @@ def render_ao_level(
 
     halo = 16
     zp = pad_parity4(ds, halo)
-    if normals_ds is not None and params.use_normals:
-        npad = np.stack(
-            [pad_parity4(normals_ds[..., c], halo) for c in range(3)], axis=-1
-        )
-    else:
-        npad = None
+    # Only the center normal is ever read (window offset (0, 0) == the
+    # unpadded field), so no normals halo is built.
+    n_c = (np.asarray(normals_ds, np.float64)
+           if normals_ds is not None and params.use_normals else None)
 
     h, w = ds.shape
     z_c = ds
@@ -206,8 +204,7 @@ def render_ao_level(
         inv_r = 1.0 / (radius_coef * t)  # per unit z_c
         zs1 = window(zp, dy, dx)
         zs2 = window(zp, -dy, -dx)
-        if npad is not None:
-            n_c = np.stack([window(npad[..., c], 0, 0) for c in range(3)], -1)
+        if n_c is not None:
             rel1 = _tangent_offset(n_c, dx, dy, texel_scale,
                                    0.5 * radius_coef * t)
             rel2 = -rel1

@@ -57,9 +57,8 @@ def build_pyramid(linear_z, depth_levels: int):
 
 
 def deinterleave_4x4(x):
-    """(H, W) -> (16, H/4, W/4): slice (4*j + i) holds pixels with
-    row % 4 == i, col % 4 == j ... laid out so slice s = 4*i + j has pixels
-    (row % 4 == i, col % 4 == j).  Reference 'atlas' layout (SURVEY.md SS3.1).
+    """(H, W) -> (16, H/4, W/4): slice s = 4*i + j holds the pixels with
+    row % 4 == i and col % 4 == j.  Reference 'atlas' layout (SURVEY.md SS3.1).
     """
     h, w = x.shape[-2:]
     assert h % 4 == 0 and w % 4 == 0, (h, w)

@@ -132,7 +132,6 @@ def bilateral_upsample2x(lo_ao, lo_d, hi_d, k_blur, k_up):
     lo_d = lo_d.astype(jnp.float32)
     hi_d = hi_d.astype(jnp.float32)
     lh, lw = lo_d.shape[-2:]
-    lead = lo_d.shape[:-2]
 
     taps = {(dr, dc): (_lo_tap(lo_ao, dr, dc), _lo_tap(lo_d, dr, dc))
             for dr in (0, 1) for dc in (0, 1)}
@@ -185,7 +184,6 @@ def _bilateral_upsample2x_ext(f_ext, d_ext, hi_d, k_blur, k_up,
     """
     lh, lw = hi_d.shape[-2], hi_d.shape[-1]
     lh, lw = lh // 2, lw // 2
-    lead = hi_d.shape[:-2]
     plane_crop = (crop_hw is not None
                   and crop_hw[0] % 2 == 0 and crop_hw[1] % 2 == 0)
 

@@ -81,12 +81,26 @@ def render_views_spatial(depths, camera=None, params=None,
     params = params or AOParams()
     if halo_rows is None:
         halo_rows = stencil_halo_rows(params)
+    v, h, w = depths.shape
     if mesh is None:
-        mesh = make_grid_mesh(1, len(jax.devices()))
+        # prefer view-parallelism: the largest device-count divisor that
+        # also divides the view batch (an all-rows default tripped the
+        # band>=halo constraint for the mode's headline 8-view case,
+        # review r3); leftover devices become row bands
+        nd = len(jax.devices())
+        nv0 = max(d for d in range(1, nd + 1)
+                  if nd % d == 0 and v % d == 0)
+        mesh = make_grid_mesh(nv0, nd // nv0)
     nv = mesh.shape[VIEW_AXIS]
     nr = mesh.shape[ROW_AXIS]
-    v, h, w = depths.shape
     halo = halo_rows
+    if normals is not None:
+        # canonicalize BEFORE row padding: pad_rows_aligned on a
+        # channel-first (V, 3, H, W) buffer would edge-pad the size-3
+        # channel axis (review r3)
+        from tpuao.ops.render import normals_channel_last
+
+        normals = normals_channel_last(jnp.asarray(normals, jnp.float32))
     if per_view:
         def fix(leaf):
             leaf = jnp.asarray(leaf, jnp.float32)

@@ -29,8 +29,9 @@ from tpuao.params import AOParams, CameraParams
 VIEW_AXIS = "views"
 
 
-def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """1-D device mesh over the view axis.
+def make_1d_mesh(axis: str, n_devices: int | None = None,
+                 devices=None) -> Mesh:
+    """1-D device mesh over ``axis`` (shared by the view and row modes).
 
     Raises when ``n_devices`` exceeds the available devices (silent
     truncation would let a 'multi-chip' run quietly execute on a smaller
@@ -42,7 +43,12 @@ def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
             raise ValueError(f"mesh of {n_devices} devices requested, "
                              f"have {len(devices)}")
         devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (VIEW_AXIS,))
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """1-D device mesh over the view axis."""
+    return make_1d_mesh(VIEW_AXIS, n_devices, devices)
 
 
 def scan_optional(one, xs, unroll_cap: int = 8, extra=()):

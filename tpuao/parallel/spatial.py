@@ -64,16 +64,9 @@ def stencil_halo_rows(params) -> int:
 
 
 def make_row_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    import numpy as np
+    from tpuao.parallel.sharding import make_1d_mesh
 
-    if devices is None:
-        devices = jax.devices()
-    if n_devices is not None:
-        if n_devices > len(devices):
-            raise ValueError(f"mesh of {n_devices} devices requested, "
-                             f"have {len(devices)}")
-        devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), (ROW_AXIS,))
+    return make_1d_mesh(ROW_AXIS, n_devices, devices)
 
 
 def edge_pad_rows(x, target_h: int, axis: int):
@@ -207,6 +200,13 @@ def render_frame_spatial(depth, camera=None, params=None,
     mesh = mesh or make_row_mesh()
     n = mesh.devices.size
     h, w = depth.shape
+    if normals is not None:
+        # canonicalize BEFORE any row padding: pad_rows_aligned on a
+        # channel-first (3, H, W) buffer would edge-pad the size-3
+        # channel axis (review r3)
+        from tpuao.ops.render import normals_channel_last
+
+        normals = normals_channel_last(jnp.asarray(normals, jnp.float32))
     if auto_pad and h % (64 * n):
         res = render_frame_spatial(
             pad_rows_aligned(depth, n, 0), camera, params, mesh=mesh,
