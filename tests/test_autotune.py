@@ -45,6 +45,47 @@ def test_sweep_vmem_plumbs_candidates():
     assert t.seen == [16384, 49152]
 
 
+def test_sweep_vmem_host_timer_via_shape_key():
+    """A timer without a compiler_options parameter (the
+    host_chain_time_ms shape) sweeps through the per-shape override
+    table; the pre-sweep override is restored afterwards (review r3:
+    forwarding compiler_options= to such a timer crashed)."""
+    seen = []
+
+    def host_timer(fn, *args, iters=None):
+        kib = xla_opts.scoped_vmem_kib(640, False)
+        seen.append(kib)
+        return {16384: 2.0, 49152: 1.0}[kib]
+
+    xla_opts.set_tuned_vmem(640, False, 20480)  # pre-existing override
+    out = autotune.sweep_vmem(lambda x: x, jnp.zeros(4),
+                              candidates=(16384, 49152),
+                              timer=host_timer, shape_key=(640, False))
+    assert out == {16384: 2.0, 49152: 1.0}
+    assert seen == [16384, 49152]
+    assert xla_opts.scoped_vmem_kib(640, False) == 20480  # restored
+    # with NO prior override the sweep must leave the table clean
+    seen.clear()
+
+    def host_timer2(fn, *args, iters=None):
+        seen.append(xla_opts.scoped_vmem_kib(641, False))
+        return 1.0
+
+    autotune.sweep_vmem(lambda x: x, jnp.zeros(4),
+                        candidates=(16384, 49152),
+                        timer=host_timer2, shape_key=(641, False))
+    assert seen == [16384, 49152]
+    assert xla_opts.scoped_vmem_kib(641, False) == 49152  # class default
+
+
+def test_sweep_vmem_host_timer_requires_shape_key():
+    def host_timer(fn, *args, iters=None):  # pragma: no cover - not called
+        return 1.0
+
+    with pytest.raises(ValueError, match="shape_key"):
+        autotune.sweep_vmem(lambda x: x, jnp.zeros(4), timer=host_timer)
+
+
 def test_tune_frame_applies_exact_shape_override():
     times = {16384: 0.9, 20480: 0.5, 49152: 0.7}
     t_ = fake_timer(times)
@@ -91,6 +132,39 @@ def test_load_rejects_foreign_device_kind(tmp_path):
     assert xla_opts.scoped_vmem_kib(1000, False) == 49152
     assert autotune.load_tuned(path, strict_device=False) == 1
     assert xla_opts.scoped_vmem_kib(1000, False) == 16384
+
+
+def test_load_accepts_legacy_file_without_device_kind(tmp_path):
+    """A hand-written cache with no device_kind key loads like
+    'unknown' (review r3: dropping its entries let a subsequent
+    tune --save rewrite the file with only the fresh measurement)."""
+    path = str(tmp_path / "legacy.json")
+    with open(path, "w") as f:
+        json.dump({"entries": [{"pixels": 1000, "use_normals": False,
+                                "kib": 20480}]}, f)
+    assert autotune.load_tuned(path) == 1
+    assert xla_opts.scoped_vmem_kib(1000, False) == 20480
+
+
+def test_cli_tune_merges_legacy_cache(tmp_path, monkeypatch, capsys):
+    """tune --save on a device_kind-less cache file merges, keeping the
+    prior entries."""
+    from tpuao import cli
+
+    path = str(tmp_path / "legacy.json")
+    with open(path, "w") as f:
+        json.dump({"entries": [{"pixels": 5, "use_normals": False,
+                                "kib": 16384}]}, f)
+    monkeypatch.setattr(autotune, "device_time_ms",
+                        fake_timer({20480: 0.1, 49152: 0.2}))
+    assert cli.main(["tune", "64x96", "--candidates", "20,48",
+                     "--save", path]) == 0
+    capsys.readouterr()
+    with open(path) as f:
+        saved = json.load(f)
+    ents = {(e["pixels"], e["use_normals"]): e["kib"]
+            for e in saved["entries"]}
+    assert ents == {(5, False): 16384, (64 * 96, False): 20480}
 
 
 def test_device_time_ms_accepts_compiler_options_off_tpu():

@@ -30,6 +30,16 @@ def test_batched_results_match_per_frame():
         np.testing.assert_allclose(ao, want, atol=1e-6)
 
 
+def test_results_own_their_memory():
+    """Each future's frame must be its own allocation: a view into the
+    (batch, H, W) flush output would pin the whole batch (pad frames
+    included) for as long as any one client holds its result."""
+    z = F.spheres_on_plane(64, 128, n_spheres=2, seed=3).astype(np.float32)
+    with MicroBatcher(_render, batch_size=4, max_delay_ms=10.0) as mb:
+        out = mb.submit(z).result(timeout=120)
+    assert out.base is None
+
+
 def test_partial_batch_flushes_on_timeout():
     z = F.spheres_on_plane(64, 128, n_spheres=2, seed=9).astype(np.float32)
     with MicroBatcher(_render, batch_size=8, max_delay_ms=20.0) as mb:

@@ -91,6 +91,52 @@ def test_cli_tunable_flags_cover_param_ranges():
         assert f"--{name.replace('_', '-')}" in render_help, name
 
 
+def test_cli_normals_png_remap(tmp_path):
+    """PNG normal maps carry the standard (n+1)/2 encoding; the CLI
+    remaps them to signed [-1, 1] so they match the raw 'PF' .pfm path
+    (review r3: [0,1] pseudo-normals rendered wrong-but-plausible AO
+    silently)."""
+    from PIL import Image
+
+    z, nrm = F.spheres_on_plane(96, 128, n_spheres=3, seed=7,
+                                with_normals=True)
+    z = z.astype(np.float32)
+    src = str(tmp_path / "d.pfm")
+    save_pfm(src, z)
+    npfm = str(tmp_path / "n.pfm")
+    save_pfm(npfm, np.asarray(nrm, np.float32))
+    npng = str(tmp_path / "n.png")
+    enc = np.clip((np.asarray(nrm) + 1.0) / 2.0, 0.0, 1.0)
+    Image.fromarray((enc * 255).round().astype(np.uint8)).save(npng)
+
+    out_a, out_b = str(tmp_path / "a.pfm"), str(tmp_path / "b.pfm")
+    assert main(["render", src, out_a, "--depth-mode", "linear",
+                 "--normals", npfm]) == 0
+    assert main(["render", src, out_b, "--depth-mode", "linear",
+                 "--normals", npng]) == 0
+    # 8-bit quantization of the normal components, nothing more
+    np.testing.assert_allclose(load_pfm(out_b), load_pfm(out_a), atol=0.02)
+
+
+def test_cli_rejects_bad_buffers_and_camera(tmp_path, capsys):
+    z = np.full((64, 64), 0.5, np.float32)
+    src = str(tmp_path / "d.pfm")
+    save_pfm(src, z)
+    dst = str(tmp_path / "o.pfm")
+    # single-channel normals buffer
+    save_pfm(str(tmp_path / "n1.pfm"), z)
+    assert main(["render", src, dst, "--depth-mode", "linear",
+                 "--normals", str(tmp_path / "n1.pfm")]) == 2
+    assert "3-channel" in capsys.readouterr().err
+    # degenerate camera flags exit 2 with a message, not a traceback
+    assert main(["render", src, dst, "--depth-mode", "linear",
+                 "--far", "0.05"]) == 2
+    assert "far" in capsys.readouterr().err
+    assert main(["render", src, dst, "--depth-mode", "linear",
+                 "--fov", "200"]) == 2
+    assert "fov" in capsys.readouterr().err
+
+
 def test_cli_render_sequence(tmp_path):
     # 5 frames, batch 2: tests the padded tail batch + one compiled shape
     outd = tmp_path / "out"

@@ -200,6 +200,17 @@ def test_serve_endpoint():
             assert False, "expected HTTP 400 for 3-channel body"
         except urllib.error.HTTPError as e:
             assert e.code == 400
+
+        # degenerate camera overrides are 400s, not NaN frames with a
+        # 200: far <= near, near <= 0, fov outside (0, 180)
+        for qs in ("far=0.05", "near=0", "fov=200"):
+            badc = urllib.request.Request(f"{base}/ao?{qs}",
+                                          data=dumps_pfm(z))
+            try:
+                urllib.request.urlopen(badc)
+                assert False, f"expected HTTP 400 for {qs}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400
     finally:
         srv.shutdown()
         srv.server_close()

@@ -217,6 +217,22 @@ def test_validate_rejects_numpy_scalars():
     AOParams(strength=np.float32(2.0)).validate()  # in-range passes
 
 
+def test_camera_validate():
+    """Degenerate projections fail loudly (zmagic = (far-near)/near and
+    1/tan_half_fov_h blow up); defaults and traced values pass."""
+    CameraParams().validate()
+    CameraParams(depth_mode="linear").validate()
+    for bad in (dict(near=0.0), dict(near=-1.0), dict(far=0.05),
+                dict(tan_half_fov_h=0.0), dict(tan_half_fov_h=-2.0),
+                dict(depth_mode="exp")):
+        with pytest.raises(ValueError):
+            CameraParams(**bad).validate()
+    # traced scalars pass through (tunables ride as jit leaves)
+    import jax
+
+    jax.jit(lambda c: c.validate().near)(CameraParams(near=0.2))
+
+
 def test_debug_outputs():
     z = _scene(64, 64)
     ao, dbg = render_frame(z, CameraParams(depth_mode="linear"), AOParams(),

@@ -44,8 +44,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    ".png), or a quoted glob for a frame sequence")
     r.add_argument("output", help="AO output (.pfm, or 8-bit .png); a "
                    "directory when input is a sequence")
-    r.add_argument("--normals", help="normals frame (3-channel 'PF' .pfm); "
-                   "glob in sequence mode")
+    r.add_argument("--normals", help="normals frame: 3-channel 'PF' .pfm "
+                   "(raw signed components) or .png (standard (n+1)/2 "
+                   "encoding, remapped to [-1, 1]); glob in sequence mode")
     r.add_argument("--color", help="color frame to composite (.pfm/.png); "
                    "glob in sequence mode")
     r.add_argument("--batch", type=int, default=4,
@@ -178,7 +179,9 @@ def _build_component(a, was_png: bool):
         camera = camera.replace(**cam_kw)
     if a.normals and not params.use_normals:
         params = params.replace(use_normals=True)  # --normals implies it
-    return camera, params.validate()
+    if a.fov is not None and not 0 < a.fov < 180:
+        raise ValueError(f"--fov {a.fov} outside (0, 180)")
+    return camera.validate(), params.validate()
 
 
 def _cmd_tune(a) -> int:
@@ -246,7 +249,18 @@ def _cmd_render(a) -> int:
 
     normals = color = None
     if a.normals:
-        normals, _ = _load_image(a.normals)
+        normals, n_png = _load_image(a.normals)
+        if normals.ndim != 3 or 3 not in (normals.shape[0],
+                                          normals.shape[-1]):
+            print("error: --normals must be a 3-channel buffer, got "
+                  f"shape {normals.shape}", file=sys.stderr)
+            return 2
+        if n_png:
+            # PNG normal maps carry the standard (n + 1) / 2 encoding;
+            # the pipeline wants signed view-space components in [-1, 1]
+            # (feeding [0, 1] pixel values silently skews the tangent
+            # test, review r3).  Float 'PF' .pfm buffers are raw.
+            normals = normals * 2.0 - 1.0
     if a.color:
         color, _ = _load_image(a.color)
 
@@ -380,8 +394,14 @@ def main(argv=None) -> int:
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     a = _build_parser().parse_args(argv)
-    return {"info": _cmd_info, "render": _cmd_render,
-            "tune": _cmd_tune, "serve": _cmd_serve}[a.cmd](a)
+    try:
+        return {"info": _cmd_info, "render": _cmd_render,
+                "tune": _cmd_tune, "serve": _cmd_serve}[a.cmd](a)
+    except ValueError as e:
+        # validation errors (param/camera ranges, bad config values) exit
+        # like every other CLI usage error: message + status 2, no trace
+        print(f"error: {e}", file=sys.stderr)
+        return 2
 
 
 if __name__ == "__main__":  # pragma: no cover

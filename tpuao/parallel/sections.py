@@ -121,7 +121,16 @@ def render_frame_sections_fused(depth, camera=None, params=None,
         f"frame height -- use fewer, or render_frame_sections")
     local_px = (band + 2 * halo_rows) * depth.shape[-1]
     depth = jnp.asarray(depth, jnp.float32)
-    return _sections_fused_jit(k, ha, band, halo_rows, impl, local_px)(
+    # resolve the scoped-VMEM budget per CALL and key the jit cache on it:
+    # baking tpu_compiler_options into the cached entry would pin the
+    # budget that was current at first call, invisibly ignoring later
+    # per-shape overrides (autotune.load_tuned) for this geometry
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    opts = tpu_compiler_options(local_px)
+    kib = (int(opts["xla_tpu_scoped_vmem_limit_kib"])
+           if opts is not None else None)
+    return _sections_fused_jit(k, ha, band, halo_rows, impl, kib)(
         depth, camera, params)[..., :h0, :]
 
 
@@ -165,13 +174,13 @@ def sections_fused_fn(k: int, ha: int, band: int, halo: int, impl: str):
 
 @functools.lru_cache(maxsize=None)
 def _sections_fused_jit(k: int, ha: int, band: int, halo: int, impl: str,
-                        local_px: int):
+                        kib: int | None):
     import jax
 
-    from tpuao.utils.xla_opts import tpu_compiler_options
-
+    opts = (None if kib is None
+            else {"xla_tpu_scoped_vmem_limit_kib": str(kib)})
     return jax.jit(sections_fused_fn(k, ha, band, halo, impl),
-                   compiler_options=tpu_compiler_options(local_px))
+                   compiler_options=opts)
 
 
 def render_frame_sections(depth, camera=None, params=None,

@@ -196,6 +196,37 @@ if struct is not None:
         reversed_z: bool = struct.field(pytree_node=False, default=True)
         depth_mode: str = struct.field(pytree_node=False, default="hardware")
 
+        def validate(self) -> "CameraParams":
+            """Range-check concrete projection values (mirrors
+            ``AOParams.validate``): ``zmagic = (far - near) / near`` and
+            ``1 / tan_half_fov_h`` blow up on degenerate planes, so a
+            near<=0 / far<=near / fov outside (0, 180) camera must fail
+            loudly instead of rendering NaN.  Traced values pass through.
+            """
+            import numpy as _np
+
+            def conc(v):
+                return isinstance(
+                    v, (int, float, _np.floating, _np.integer))
+
+            if conc(self.near) and not self.near > 0:
+                raise ValueError(f"CameraParams.near={self.near} must be > 0")
+            if (conc(self.near) and conc(self.far)
+                    and not self.far > self.near):
+                raise ValueError(
+                    f"CameraParams.far={self.far} must exceed "
+                    f"near={self.near}")
+            if conc(self.tan_half_fov_h) and not (
+                    0 < self.tan_half_fov_h < _np.inf):
+                raise ValueError(
+                    f"CameraParams.tan_half_fov_h={self.tan_half_fov_h} "
+                    "must be finite and > 0 (fov in (0, 180) degrees)")
+            if self.depth_mode not in ("hardware", "linear"):
+                raise ValueError(
+                    f"CameraParams.depth_mode={self.depth_mode!r} must be "
+                    "'hardware' or 'linear'")
+            return self
+
 else:  # pragma: no cover
     AOParams = None
     CameraParams = None

@@ -135,10 +135,16 @@ class AOHandler(BaseHTTPRequestHandler):
                     if cam_over:
                         import math
 
-                        if "fov" in cam_over:
+                        fov = cam_over.pop("fov", None)
+                        if fov is not None:
+                            if not 0 < fov < 180:
+                                raise ValueError(
+                                    f"fov={fov} outside (0, 180)")
                             cam_over["tan_half_fov_h"] = math.tan(
-                                math.radians(cam_over.pop("fov")) / 2)
-                        camera = camera.replace(**cam_over)
+                                math.radians(fov) / 2)
+                        # validated like the tunables: ?far=0 must 400,
+                        # not render NaN and count as ok (review r3)
+                        camera = camera.replace(**cam_over).validate()
                     from tpuao.models.pipeline import render_frame
 
                     ao = np.asarray(render_frame(depth, camera,

@@ -41,21 +41,54 @@ DEFAULT_CANDIDATES_KIB = (16384, 20480, 24576, 32768, 49152, 65536)
 
 
 def sweep_vmem(fn, *args, candidates=DEFAULT_CANDIDATES_KIB,
-               timer=None, iters=None) -> dict[int, float]:
+               timer=None, iters=None, shape_key=None) -> dict[int, float]:
     """Time ``fn(*args)`` under each scoped-VMEM budget; {kib: ms}.
 
-    ``timer`` defaults to ``device_time_ms`` (injectable for tests and
-    for host-driven multi-launch programs via ``host_chain_time_ms``).
+    ``timer`` defaults to ``device_time_ms``, which compiles ``fn`` once
+    per candidate with the budget as an explicit compiler option.  A
+    timer without a ``compiler_options`` parameter (``host_chain_time_ms``
+    for multi-launch section programs) cannot receive the flag that way;
+    pass ``shape_key=(padded_pixels, use_normals)`` and each candidate is
+    applied through the per-shape override table
+    (``xla_opts.set_tuned_vmem``) instead -- ``fn`` must then resolve its
+    budget per call, as ``render_frame`` / ``render_frame_sections`` do.
+    The pre-sweep override is restored afterwards (the sweep must not
+    leave the LAST candidate registered; ``tune_frame`` applies the best
+    one explicitly).
+
     Off-TPU the flag is unknown to the compiler and the timer drops it
     -- the sweep then measures one program N times, which is harmless
     but meaningless; callers should gate on backend for real tuning.
     """
+    import inspect
+
     timer = timer or device_time_ms
+    accepts_opts = ("compiler_options"
+                    in inspect.signature(timer).parameters)
+    if not accepts_opts and shape_key is None:
+        raise ValueError(
+            f"timer {getattr(timer, '__name__', timer)!r} has no "
+            "compiler_options parameter; pass shape_key=(padded_pixels, "
+            "use_normals) so candidates apply via xla_opts.set_tuned_vmem")
+    if shape_key is not None:
+        px, un = int(shape_key[0]), bool(shape_key[1])
+        prior = xla_opts._TUNED.get((px, un))
     out = {}
-    for kib in candidates:
-        out[int(kib)] = float(timer(
-            fn, *args, iters=iters,
-            compiler_options={"xla_tpu_scoped_vmem_limit_kib": str(kib)}))
+    try:
+        for kib in candidates:
+            kw = {"iters": iters}
+            if accepts_opts:
+                kw["compiler_options"] = {
+                    "xla_tpu_scoped_vmem_limit_kib": str(kib)}
+            if shape_key is not None:
+                xla_opts.set_tuned_vmem(px, un, kib)
+            out[int(kib)] = float(timer(fn, *args, **kw))
+    finally:
+        if shape_key is not None:
+            if prior is None:
+                xla_opts._TUNED.pop((px, un), None)
+            else:
+                xla_opts.set_tuned_vmem(px, un, prior)
     return out
 
 
@@ -131,12 +164,15 @@ def load_tuned(path: str, strict_device: bool = True) -> int:
 
     ``strict_device=True`` skips (with a warning-free return of 0) a file
     recorded on a different device kind instead of applying budgets that
-    were never measured on this hardware.
+    were never measured on this hardware.  A file with no ``device_kind``
+    key (hand-written or legacy) loads like ``"unknown"`` -- silently
+    dropping its entries would let a subsequent ``tune --save`` rewrite
+    the file with only the fresh measurement (review r3).
     """
     with open(path) as f:
         data = json.load(f)
     if strict_device and data.get("device_kind") not in (
-            _device_kind(), "unknown"):
+            _device_kind(), "unknown", None):
         return 0
     n = 0
     for e in data.get("entries", []):

@@ -113,7 +113,10 @@ class MicroBatcher:
             try:
                 out = np.asarray(self._render(batch))
                 for i, (_, fut, _) in enumerate(items):
-                    fut.set_result(out[i])
+                    # own the frame's memory: a view into `out` would pin
+                    # the whole (batch, H, W) block (pad frames included)
+                    # for as long as any one client holds its result
+                    fut.set_result(out[i].copy())
             except Exception as e:  # pragma: no cover - render errors
                 for (_, fut, _) in items:
                     if not fut.done():
