@@ -105,6 +105,18 @@ def stray_processes() -> list[str]:
     return found
 
 
+def progress(msg: str) -> None:
+    """One stderr line per config so an outside observer can tell a slow
+    remote compile (20-90 s each, occasionally a hang -- CLAUDE.md) from
+    real progress; timestamped because the hang diagnosis is 'no new line
+    for ~10 min'."""
+    import sys
+    import time
+
+    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
+
 def time_ms(fn, *args, reps=REPS, use_normals=False):
     """Per-frame device time via on-device chaining (see utils.profiling:
     block_until_ready does not sync through the axon relay) + one real
@@ -138,6 +150,7 @@ def main():
         want = G.render_frame_golden(z, gc, gp, normals=normals)
         return float(np.abs(np.asarray(ao, np.float64) - want).max())
 
+    progress("config 1: 720p single-scale")
     # ---- config 1: single-scale 1/2-res AO, 720p, no blur -----------------
     z = scene(720, 1280)
     zd = jax.device_put(jnp.asarray(z, jnp.float32))
@@ -154,6 +167,7 @@ def main():
         roofline=roofline(f1, ms, 720, 1280, zd, depth_levels=1,
                           enable_blur=False, single_scale=True))
 
+    progress("config 2: 1080p full (headline)")
     # ---- config 2: full 4-level pipeline, 1080p, depth-only (HEADLINE) ----
     z = scene(1080, 1920)
     zd = jax.device_put(jnp.asarray(z, jnp.float32))
@@ -165,6 +179,7 @@ def main():
         ms=ms2, ms_min=mn2, mpix_s=(1920 * 1080 / 1e6) / (ms2 / 1e3),
         max_abs_err=err2, roofline=roofline(f2, ms2, 1080, 1920, zd))
 
+    progress("impl regression rows (pallas/fused)")
     # ---- standing impl regression rows (VERDICT r2 item 5): the
     # "XLA beats Pallas" default is re-measured every bench run on the
     # headline config so a JAX/libtpu upgrade flipping the ranking is
@@ -187,6 +202,7 @@ def main():
               "default ranking has flipped; re-evaluate impl='auto'",
               file=sys.stderr)
 
+    progress("config 3: 1080p normals + sweep")
     # ---- config 3: 1080p + normals + tunable sweep ------------------------
     z, n = scene(1080, 1920, with_normals=True)
     zd = jax.device_put(jnp.asarray(z, jnp.float32))
@@ -221,6 +237,7 @@ def main():
         sweep_retraces=traces - 1,
         sweep_ms=[round(v, 4) for v in sweep_ms])
 
+    progress("config 3b: 4K normals")
     # ---- config 3b: 4K + normals (VERDICT r2 item 9: record the normals
     # path's scaling before anyone deploys it at 4K) ------------------------
     z4n, n4 = scene(2160, 3840, with_normals=True)
@@ -235,6 +252,7 @@ def main():
                           use_normals=True))
     del zd4n, nd4, ao3b
 
+    progress("config 4: 4K full")
     # ---- config 4: 4K single camera ---------------------------------------
     z4 = scene(2160, 3840)
     zd4 = jax.device_put(jnp.asarray(z4, jnp.float32))
@@ -244,6 +262,7 @@ def main():
         ms=ms4, ms_min=mn4, mpix_s=(3840 * 2160 / 1e6) / (ms4 / 1e3),
         max_abs_err=err4, roofline=roofline(f2, ms4, 2160, 3840, zd4))
 
+    progress("config 4b: 8K full")
     # ---- config 4b: 8K single camera, single chip --------------------------
     # (VERDICT r1 item 2: used to OOM from the interleave's 64x layout
     # inflation; the layout-bounded interleave keeps temps ~2 frames.)
@@ -256,6 +275,7 @@ def main():
         max_abs_err=err8, roofline=roofline(f2, ms8, 4320, 7680, zd8))
     del zd8, ao8
 
+    progress("config 5: 8-view sharded batch")
     # ---- config 5: 8-view 1080p batch, view-sharded mesh ------------------
     from jax.sharding import NamedSharding, PartitionSpec as P
     from tpuao.parallel.sharding import VIEW_AXIS, sharded_views_fn
@@ -273,11 +293,36 @@ def main():
     sm = sharded_views_fn(cam, p2, mesh, impl=impl)
     f5 = jax.jit(lambda d: sm(d, None))
     ms5, mn5, ao5 = time_ms(f5, zsd)
+    # accuracy record like every other row: the views are copies of one
+    # scene, so golden-checking view 0 covers the sharded program (fetch
+    # one 1080p view, not the whole batch -- the relay moves ~35 MB/s)
+    err5 = golden_err(np.asarray(ao5[0]), zs[0], p2)
     results["configs"]["5_8view_1080p_sharded"] = dict(
         ms=ms5, ms_min=mn5, ms_per_view=ms5 / views,
         mpix_s=(views * 1920 * 1080 / 1e6) / (ms5 / 1e3),
-        mesh_devices=int(mesh.devices.size))
+        max_abs_err=err5, mesh_devices=int(mesh.devices.size))
 
+    progress("streaming host-launch rates")
+    # ---- streaming rates (host-driven launches): what a serving
+    # deployment actually pays per frame.  Every row above chains
+    # iterations ON-DEVICE, measuring pure compute; a real request
+    # stream launches one program per frame (or per batch) and pays the
+    # relay's per-launch dispatch on top (~3.3 ms here, the sections
+    # experiment's launch tax).  Two host-chained rates -- one frame per
+    # launch vs config 5's 8-view program per launch -- pin down that
+    # tax and the measured value of micro-batching on this relay.
+    from tpuao.utils.profiling import host_chain_time_ms
+
+    ms_one = host_chain_time_ms(f2, zd, repeats=3)
+    ms_b8 = host_chain_time_ms(f5, zsd, repeats=3)
+    results["streaming_1080p_host_launch"] = {
+        "ms_per_frame_single": round(ms_one, 4),
+        "ms_per_frame_batch8": round(ms_b8 / views, 4),
+        "launch_overhead_ms": round(ms_one - ms2, 4),
+        "batch8_speedup": round(ms_one / (ms_b8 / views), 2),
+    }
+
+    progress("quality ladder")
     # ---- quality ladder: presets at 1080p (reference QualityLevel analog).
     # Timing only -- preset math is golden-tested in pytest; zd/nd are the
     # config-3 1080p scene.
@@ -291,6 +336,7 @@ def main():
                                             use_normals=pp.use_normals), 4)
     results["quality_ladder_1080p_ms"] = ladder
 
+    progress("writing BENCH_DETAIL.json")
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(results, f, indent=2)
 

@@ -49,7 +49,14 @@ def main(argv):
     ap.add_argument("--views", type=int, default=0,
                     help="shard each batch flush over an N-device view "
                     "mesh (fleet serving; implies --batch N)")
+    ap.add_argument("--autotune-cache", metavar="PATH",
+                    help="load per-shape scoped-VMEM budgets saved by "
+                    "`tpuao tune --save` (same flag as `tpuao render`)")
     a = ap.parse_args(argv[1:])
+    if a.autotune_cache:
+        from tpuao.utils.autotune import load_tuned
+
+        print(f"autotune cache: {load_tuned(a.autotune_cache)} entries")
     eng = AmbientOcclusionEngine.from_config(a.config) if a.config else None
     mesh = None
     if a.views:

@@ -242,6 +242,27 @@ def test_bytes_codec_roundtrip():
         np.testing.assert_array_equal(got, arr)
 
 
+def test_loads_pfm_multi_roundtrip():
+    """Concatenated PFM frames (the serving multi-buffer body) split back
+    into the original frames; mixed 'Pf'/'PF', whitespace tolerated."""
+    frames = [_frame(9, 11, seed=7), _frame3(9, 11, seed=8),
+              _frame3(9, 11, seed=9)]
+    body = b"".join(FIO.dumps_pfm(f) for f in frames)
+    got = FIO.loads_pfm_multi(body)
+    assert len(got) == 3
+    for g, want in zip(got, frames):
+        np.testing.assert_array_equal(g, want)
+    # single frame degenerates to [loads_pfm(...)]
+    one = FIO.loads_pfm_multi(FIO.dumps_pfm(frames[0]))
+    assert len(one) == 1
+    np.testing.assert_array_equal(one[0], frames[0])
+    # trailing whitespace is tolerated; other trailing bytes are not
+    assert len(FIO.loads_pfm_multi(body + b"\n  ")) == 3
+    for bad in (b"", body + b"garbage", body[:-4]):
+        with pytest.raises(ValueError):
+            FIO.loads_pfm_multi(bad)
+
+
 def test_loads_pfm_truncated_raises_not_hangs():
     """EOF in any header position must raise, not spin (the whitespace
     loops used to loop forever on b'' -- a remotely triggerable hang

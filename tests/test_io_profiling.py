@@ -311,6 +311,152 @@ def test_serve_endpoint_view_sharded():
     assert srv.batcher._closed
 
 
+def test_serve_endpoint_multibuffer():
+    """Normals / color ride the same POST body as concatenated PFM
+    frames (config-3-style serving): depth+normals renders the
+    normal-weighted program, depth+normals+color (and ?buffers=
+    depth,color) return the composited frame; malformed multi-buffer
+    bodies are 400s."""
+    import threading
+    import urllib.request
+
+    from tpuao import serving as S
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z, nrm = F.spheres_on_plane(96, 128, n_spheres=3, seed=6,
+                                    with_normals=True)
+        z = z.astype(np.float32)
+        nrm = nrm.astype(np.float32)
+        rng = np.random.default_rng(0)
+        color = rng.uniform(0.0, 1.0, (96, 128, 3)).astype(np.float32)
+        cam = CameraParams(depth_mode="linear")
+
+        def post(qs, *frames):
+            req = urllib.request.Request(
+                f"{base}/ao{qs}", data=b"".join(dumps_pfm(f)
+                                                for f in frames))
+            return loads_pfm(urllib.request.urlopen(req).read())
+
+        # depth + normals -> normal-weighted AO (static-knob flip)
+        ao = post("", z, nrm)
+        want = np.asarray(render_frame(
+            z, cam, AOParams(use_normals=True), normals=nrm))
+        np.testing.assert_allclose(ao, want, atol=1e-6)
+        depth_only = np.asarray(render_frame(z, cam, AOParams()))
+        assert np.abs(ao - depth_only).max() > 1e-4  # knob actually flipped
+
+        # depth + normals + color -> composited (H, W, 3), tunables too
+        out = post("?strength=2.0", z, nrm, color)
+        want = np.asarray(render_frame(
+            z, cam, AOParams(use_normals=True, strength=2.0),
+            normals=nrm, color=color))
+        assert out.shape == (96, 128, 3)
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+        # ?buffers=depth,color: composite without a normals buffer
+        out = post("?buffers=depth,color", z, color)
+        want = np.asarray(render_frame(z, cam, AOParams(), color=color))
+        np.testing.assert_allclose(out, want, atol=1e-6)
+
+        # png output of a composited frame is RGB
+        req = urllib.request.Request(
+            f"{base}/ao?buffers=depth,color&out=png",
+            data=dumps_pfm(z) + dumps_pfm(color))
+        resp = urllib.request.urlopen(req)
+        assert resp.headers["Content-Type"] == "image/png"
+        assert resp.read()[:8] == b"\x89PNG\r\n\x1a\n"
+
+        # malformed multi-buffer bodies are 400s, not 500s
+        bad_bodies = [
+            ("", dumps_pfm(z) + dumps_pfm(nrm) + dumps_pfm(color)
+             + dumps_pfm(z)),                         # 4 frames
+            ("", dumps_pfm(z) + dumps_pfm(z)),        # 2-D normals frame
+            ("?buffers=depth,normals", dumps_pfm(z)),  # count mismatch
+            ("?buffers=color,depth", dumps_pfm(color) + dumps_pfm(z)),
+            ("", dumps_pfm(z)
+             + dumps_pfm(nrm[:48])),                  # H mismatch
+            ("?buffers=depth,color", dumps_pfm(z)
+             + dumps_pfm(color[:, :64])),             # W mismatch
+        ]
+        for qs, body in bad_bodies:
+            try:
+                urllib.request.urlopen(
+                    urllib.request.Request(f"{base}/ao{qs}", data=body))
+                assert False, f"expected HTTP 400 for {qs or body[:16]}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, qs
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_retries_transient_faults(monkeypatch):
+    """A transient relay fault (the observed UNAVAILABLE / HTTP 500
+    class) is retried inside the endpoint instead of surfacing as a
+    client 500; a persistent fault still 500s."""
+    import threading
+    import urllib.request
+
+    from tpuao import serving as S
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    real = S.render_frame
+    calls = {"n": 0}
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("UNAVAILABLE: TPU worker process crashed "
+                               "or restarted")
+        return real(*a, **kw)
+
+    monkeypatch.setattr(S, "render_frame", flaky)
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z = F.spheres_on_plane(96, 128, n_spheres=3, seed=2
+                               ).astype(np.float32)
+        req = urllib.request.Request(f"{base}/ao", data=dumps_pfm(z))
+        ao = loads_pfm(urllib.request.urlopen(req, timeout=300).read())
+        assert calls["n"] == 2  # failed once, retried, served
+        assert ao.shape == z.shape
+
+        # persistent faults exhaust retries and surface as a 500
+        def dead(*a, **kw):
+            raise RuntimeError("UNAVAILABLE: TPU worker process crashed")
+
+        monkeypatch.setattr(S, "render_frame", dead)
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/ao", data=dumps_pfm(z)), timeout=300)
+            assert False, "expected HTTP 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+
+        # the batcher path is wrapped with the same retry policy
+        srv2 = S.make_server(0, batch_size=2)
+        try:
+            assert getattr(srv2.batcher._render, "__wrapped__", None) \
+                is not None
+        finally:
+            srv2.batcher.close()
+            srv2.server_close()
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_calibrate_script():
     import subprocess
     import sys

@@ -9,10 +9,23 @@ clients share fixed-shape batched programs.
 
 API (stdlib HTTP, threaded):
 
-  POST /ao            body = PFM ('Pf' depth)
+  POST /ao            body = 1-3 concatenated PFM frames (PFM headers are
+                      self-delimiting, so frames ride back-to-back in one
+                      body: ``dumps_pfm(depth) + dumps_pfm(normals)``):
+                        1 frame  = 'Pf' depth            -> AO out
+                        2 frames = depth + 'PF' normals  -> AO out
+                        3 frames = depth + normals + 'PF' color
+                                                         -> composited out
+      ?buffers=depth,color        overrides the positional meaning when
+                                  the defaults don't fit (e.g. composite
+                                  without a normals buffer)
       ?strength=2.0&rejection_falloff=5.0&...   per-request tunables
       ?near=0.1&far=100&fov=60                  per-request camera
       ?out=pfm (default) | png
+
+  Normals requests flip the STATIC ``use_normals`` program knob, so the
+  first one per frame shape compiles a new program (cached after); the
+  tunables/camera params stay traced scalars and never recompile.
   GET  /config        the engine's current AOParams/CameraParams JSON
   GET  /healthz       200 once a frame has rendered (readiness gate:
                       the first compile takes tens of seconds on a
@@ -35,9 +48,10 @@ from urllib.parse import parse_qsl, urlparse
 
 import numpy as np
 
-from tpuao.models.pipeline import AmbientOcclusionEngine
+from tpuao.models.pipeline import AmbientOcclusionEngine, render_frame
 from tpuao.params import PARAM_RANGES, CameraParams, params_to_dict
-from tpuao.utils.frameio import dumps_pfm, loads_pfm
+from tpuao.utils.frameio import dumps_pfm, loads_pfm_multi
+from tpuao.utils.resilience import retry_transient
 
 
 class AOHandler(BaseHTTPRequestHandler):
@@ -103,6 +117,7 @@ class AOHandler(BaseHTTPRequestHandler):
                 # validate BEFORE rendering: a bad out= must not burn a
                 # full device render just to 400 (review r3)
                 raise ValueError(f"unknown out={out_fmt}")
+            buf_names = q.pop("buffers", None)
             tunables = {k: float(v) for k, v in q.items()
                         if k in PARAM_RANGES}
             cam_over = {k: float(q[k]) for k in ("near", "far", "fov")
@@ -114,15 +129,40 @@ class AOHandler(BaseHTTPRequestHandler):
             if not 0 < n <= self.server.max_body:
                 raise ValueError(
                     f"body size {n} outside (0, {self.server.max_body}]")
-            depth = loads_pfm(self.rfile.read(n))
+            frames = loads_pfm_multi(self.rfile.read(n))
+            names = ([s.strip() for s in buf_names.split(",") if s.strip()]
+                     if buf_names is not None
+                     else ["depth", "normals", "color"][:len(frames)])
+            if len(names) != len(frames):
+                raise ValueError(f"buffers= names {len(names)} frames but "
+                                 f"the body holds {len(frames)}")
+            if names[0] != "depth" or names[1:] not in (
+                    [], ["normals"], ["color"], ["normals", "color"]):
+                raise ValueError(
+                    "buffers= must be depth[,normals][,color] in order, "
+                    f"got {names}")
+            bufs = dict(zip(names, frames))
+            depth = bufs["depth"]
             if depth.ndim != 2:
-                # a 3-channel 'PF' body would be misread as a leading
-                # batch by the direct path (the batcher already rejects
-                # it); both routes must 400 consistently
-                raise ValueError("body must be a single-channel 'Pf' "
-                                 f"depth frame, got shape {depth.shape}")
+                # a 3-channel 'PF' first frame would be misread as a
+                # leading batch by the direct path (the batcher already
+                # rejects it); both routes must 400 consistently
+                raise ValueError("first frame must be a single-channel "
+                                 f"'Pf' depth, got shape {depth.shape}")
+            normals = bufs.get("normals")
+            if normals is not None and (
+                    normals.ndim != 3 or normals.shape[-1] != 3
+                    or normals.shape[:2] != depth.shape):
+                raise ValueError("normals frame must be 'PF' (H, W, 3) "
+                                 f"matching depth {depth.shape}, got "
+                                 f"{normals.shape}")
+            color = bufs.get("color")
+            if color is not None and color.shape[:2] != depth.shape:
+                raise ValueError(f"color frame shape {color.shape} does "
+                                 f"not match depth {depth.shape}")
             eng = self.server.engine
-            direct = tunables or cam_over or self.server.batcher is None
+            direct = (tunables or cam_over or normals is not None
+                      or color is not None or self.server.batcher is None)
             self._count("direct" if direct else "batched")
             if direct:
                 with self.server.lock:
@@ -131,6 +171,10 @@ class AOHandler(BaseHTTPRequestHandler):
                     # program (validated)
                     params = eng.params.replace(**tunables).validate() \
                         if tunables else eng.params
+                    if normals is not None and not params.use_normals:
+                        # static knob: first such request per frame shape
+                        # compiles the normals program (cached after)
+                        params = params.replace(use_normals=True)
                     camera = eng.camera
                     if cam_over:
                         import math
@@ -145,10 +189,14 @@ class AOHandler(BaseHTTPRequestHandler):
                         # validated like the tunables: ?far=0 must 400,
                         # not render NaN and count as ok (review r3)
                         camera = camera.replace(**cam_over).validate()
-                    from tpuao.models.pipeline import render_frame
-
-                    ao = np.asarray(render_frame(depth, camera,
-                                                 params, impl=eng.impl))
+                    # retry_transient: the relayed backend's observed
+                    # transient faults (HTTP 500 / worker restart) retry
+                    # instead of surfacing as client 500s; the wrapper
+                    # resolves the module global per request so tests can
+                    # monkeypatch ``serving.render_frame`` with a flake
+                    ao = np.asarray(retry_transient(render_frame)(
+                        depth, camera, params, normals=normals,
+                        color=color, impl=eng.impl))
             else:
                 # default-tunable requests ride the micro-batcher: many
                 # concurrent clients share fixed-shape batched programs
@@ -222,5 +270,8 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
         eng = srv.engine
         render = (eng.render if mesh is None
                   else (lambda d: eng.render_views(d, mesh=mesh)))
-        srv.batcher = MicroBatcher(render, batch_size=batch_size)
+        # same retry policy as the direct path: a transient relay fault
+        # fails a whole flush otherwise (every rider gets the error)
+        srv.batcher = MicroBatcher(retry_transient(render),
+                                   batch_size=batch_size)
     return srv

@@ -121,6 +121,34 @@ def loads_pfm(data: bytes) -> np.ndarray:
     return _load_pfm_stream(io.BytesIO(data))
 
 
+def loads_pfm_multi(data: bytes) -> list[np.ndarray]:
+    """Bytes holding one or more concatenated PFM frames -> list of
+    (H, W[, 3]) float32 arrays.
+
+    The serving multi-buffer body format: a 'Pf' depth frame optionally
+    followed by 'PF' normals / color frames, each a complete PFM stream
+    back-to-back (``b"".join(dumps_pfm(f) for f in frames)``).  PFM is
+    self-delimiting (header declares the raster size), so no framing
+    envelope is needed.  Whitespace between frames is tolerated; any
+    other trailing bytes raise ``ValueError``.
+    """
+    import io
+
+    f = io.BytesIO(data)
+    frames: list[np.ndarray] = []
+    while True:
+        c = f.read(1)
+        while c != b"" and c in b" \t\r\n":
+            c = f.read(1)
+        if c == b"":
+            break
+        f.seek(-1, 1)
+        frames.append(_load_pfm_stream(f, f"<frame {len(frames)}>"))
+    if not frames:
+        raise ValueError("empty body: expected at least one PFM frame")
+    return frames
+
+
 def dumps_pfm(arr) -> bytes:
     """(H, W[, 3]) float array -> little-endian PFM bytes."""
     arr = np.asarray(arr, dtype=np.float32)

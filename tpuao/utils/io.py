@@ -26,7 +26,8 @@ def load_depth_image(path: str, near01: float = 0.05,
 
 
 def encode_ao_png(ao) -> bytes:
-    """Encode a [0,1] AO buffer as 8-bit grayscale PNG bytes.
+    """Encode a [0,1] buffer as 8-bit PNG bytes: (H, W) AO -> grayscale,
+    (H, W, 3) composited color -> RGB.
 
     THE quantization convention (round-half-up to R8) -- the CLI, the
     serving endpoint, and ``save_ao_image`` all share this one encoder so
