@@ -1,0 +1,187 @@
+"""tpuao.client -- the thin HTTP client for the serving endpoint.
+
+End-to-end against a real in-process ``tpuao.serving`` server: rendered
+results must match the local ``render_frame`` bit-for-bit (the client is
+pure transport), validation must fail FAST client-side (no round trip),
+and the server's 400/500 split must map onto ValueError/RuntimeError.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+import pytest
+
+from tpuao.client import AOClient, request_ao
+
+
+@pytest.fixture(scope="module")
+def server():
+    from tpuao import serving as S
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield srv
+    srv.shutdown()
+    srv.server_close()
+
+
+@pytest.fixture(scope="module")
+def base(server):
+    return f"http://127.0.0.1:{server.server_address[1]}"
+
+
+@pytest.fixture(scope="module")
+def scene():
+    from tpuao.utils import fixtures as F
+
+    z, nrm = F.spheres_on_plane(96, 128, n_spheres=3, seed=11,
+                                with_normals=True)
+    rng = np.random.default_rng(3)
+    color = rng.uniform(0.0, 1.0, (96, 128, 3)).astype(np.float32)
+    return z.astype(np.float32), nrm.astype(np.float32), color
+
+
+def test_render_matches_local(base, scene):
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+
+    z, _, _ = scene
+    cam = CameraParams(depth_mode="linear")  # the stock server engine
+    c = AOClient(base)
+    ao = c.render(z)
+    np.testing.assert_allclose(
+        ao, np.asarray(render_frame(z, cam, AOParams())), atol=1e-6)
+
+    # traced per-request knobs: tunable + camera fov
+    ao2 = c.render(z, strength=2.0, fov=70.0)
+    import math
+
+    cam2 = cam.replace(tan_half_fov_h=math.tan(math.radians(70.0) / 2))
+    np.testing.assert_allclose(
+        ao2, np.asarray(render_frame(z, cam2, AOParams(strength=2.0))),
+        atol=1e-6)
+    assert np.abs(ao2 - ao).max() > 1e-4  # the knobs actually rode along
+
+    # module-level convenience wrapper is the same call
+    np.testing.assert_array_equal(request_ao(base, z), ao)
+
+
+def test_render_multibuffer(base, scene):
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+
+    z, nrm, color = scene
+    cam = CameraParams(depth_mode="linear")
+    c = AOClient(base)
+
+    ao = c.render(z, normals=nrm)
+    want = np.asarray(render_frame(z, cam, AOParams(use_normals=True),
+                                   normals=nrm))
+    np.testing.assert_allclose(ao, want, atol=1e-6)
+
+    # color WITHOUT normals: the client must send ?buffers=depth,color
+    # (positionally frame 2 would be read as normals and 400)
+    out = c.render(z, color=color)
+    want = np.asarray(render_frame(z, cam, AOParams(), color=color))
+    assert out.shape == (96, 128, 3)
+    np.testing.assert_allclose(out, want, atol=1e-6)
+
+    # png output returns encoded bytes as-is
+    png = c.render(z, out="png")
+    assert isinstance(png, bytes) and png[:8] == b"\x89PNG\r\n\x1a\n"
+
+
+def test_client_side_validation_no_round_trip(base, server, scene):
+    z, _, _ = scene
+    c = AOClient(base)
+    before = server.stats["requests"]
+    with pytest.raises(ValueError, match="unknown override"):
+        c.render(z, strengh=2.0)  # typo'd tunable
+    with pytest.raises(ValueError, match="outside"):
+        c.render(z, strength=1e9)
+    with pytest.raises(ValueError, match="fov"):
+        c.render(z, fov=270.0)
+    with pytest.raises(ValueError, match="out must be"):
+        c.render(z, out="jpeg")
+    with pytest.raises(ValueError, match="depth must be"):
+        c.render(np.zeros((4, 8, 3), np.float32))
+    assert server.stats["requests"] == before  # all failed pre-flight
+
+
+def test_server_error_mapping(base, scene, monkeypatch):
+    z, nrm, _ = scene
+    c = AOClient(base)
+    # server-side 400 (normals H mismatch passes the client untouched)
+    with pytest.raises(ValueError, match="normals frame"):
+        c.render(z, normals=nrm[:48])
+    # non-transient backend fault -> HTTP 500 -> RuntimeError
+    from tpuao import serving as S
+
+    def boom(*a, **kw):
+        raise RuntimeError("lowering exploded (not transient)")
+
+    monkeypatch.setattr(S, "render_frame", boom)
+    with pytest.raises(RuntimeError, match="HTTP 500"):
+        c.render(z)
+
+
+def test_wait_ready_and_stats(scene):
+    """A fresh server is unhealthy until its first render; wait_ready
+    returns promptly once a frame has gone through."""
+    from tpuao import serving as S
+
+    z, _, _ = scene
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = AOClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        assert not c.healthy()
+        with pytest.raises(TimeoutError):
+            c.wait_ready(timeout=0.3, interval=0.1)
+        c.render(z)
+        assert c.wait_ready(timeout=5.0, interval=0.05) < 5.0
+        s = c.stats()
+        assert s["ok"] >= 1
+        cfg = c.config()
+        assert cfg["camera"]["depth_mode"] == "linear"
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_cli_remote_render(base, scene, tmp_path, capsys):
+    """`tpuao render --server URL` round-trips through the endpoint and
+    rejects server-side state flags."""
+    from tpuao.cli import main
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.utils.frameio import load_pfm, save_pfm
+
+    z, _, _ = scene
+    src = tmp_path / "depth.pfm"
+    dst = tmp_path / "ao.pfm"
+    save_pfm(str(src), z)
+    rc = main(["render", str(src), str(dst),
+               "--server", base, "--strength", "1.5"])
+    assert rc == 0
+    want = render_frame(z, CameraParams(depth_mode="linear"),
+                        AOParams(strength=1.5))
+    np.testing.assert_allclose(load_pfm(str(dst)), np.asarray(want),
+                               atol=1e-6)
+    assert "rendered by" in capsys.readouterr().out
+
+    # engine-state flags are rejected, not silently ignored
+    rc = main(["render", str(src), str(dst), "--server", base,
+               "--preset", "HIGH"])
+    assert rc == 2
+    assert "--preset" in capsys.readouterr().err
+
+    # transport faults exit 1 with a message, no traceback
+    rc = main(["render", str(src), str(dst),
+               "--server", "http://127.0.0.1:9"])  # discard port, refused
+    assert rc == 1
+    assert "error:" in capsys.readouterr().err

@@ -78,6 +78,14 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--autotune-cache", metavar="PATH",
                    help="load per-shape scoped-VMEM budgets tuned by "
                    "`tpuao tune --save PATH` before rendering")
+    r.add_argument("--server", metavar="URL",
+                   help="render remotely via a running `tpuao serve` "
+                   "endpoint (thin client, tpuao.client: no local device "
+                   "or JAX backend is touched); tunables and "
+                   "--near/--far/--fov ride as per-request query knobs, "
+                   "while server-side state flags (--config/--preset/"
+                   "--impl/--sections/--debug-dump/--autotune-cache/"
+                   "--depth-mode) are rejected")
 
     t = sub.add_parser("tune", help="autotune the scoped-VMEM fusion "
                        "budget for one frame shape (on-device sweep)")
@@ -231,7 +239,101 @@ def _cmd_tune(a) -> int:
     return 0
 
 
+def _cmd_render_remote(a) -> int:
+    """``--server``: POST frames to a running endpoint (tpuao.client).
+
+    The thin-client path: image decode/encode and PNG normal remap stay
+    local, the device render happens wherever ``tpuao serve`` runs.  The
+    flags that configure the ENGINE (config/preset/impl/sections/...)
+    are that server's state, not a request knob, so they are rejected
+    here rather than silently ignored; the depth convention is the
+    server engine's ``depth_mode`` (stock server: normalized linear,
+    which is exactly what a PNG depth input carries -- GET /config to
+    check a non-stock fleet).
+    """
+    import urllib.error
+
+    bad = [f for f, on in (("--config", a.config), ("--preset", a.preset),
+                           ("--impl", a.impl != "auto"),
+                           ("--sections", a.sections > 1),
+                           ("--debug-dump", a.debug_dump),
+                           ("--autotune-cache", a.autotune_cache),
+                           ("--depth-mode", a.depth_mode)) if on]
+    if bad:
+        print(f"error: {', '.join(bad)} configure the server-side engine; "
+              "set them where `tpuao serve` runs", file=sys.stderr)
+        return 2
+    from tpuao.client import AOClient
+    from tpuao.params import PARAM_RANGES as PR
+
+    overrides = {k: getattr(a, k) for k in PR if getattr(a, k) is not None}
+    overrides.update({k: getattr(a, k) for k in ("near", "far", "fov")
+                      if getattr(a, k) is not None})
+    client = AOClient(a.server)
+
+    def one(dpath, npath, cpath, opath):
+        depth, _ = _load_image(dpath)
+        normals = color = None
+        if npath:
+            normals, n_png = _load_image(npath)
+            if n_png:  # PNG normal maps carry (n + 1) / 2; see _cmd_render
+                normals = normals * 2.0 - 1.0
+        if cpath:
+            color, _ = _load_image(cpath)
+        out_png = opath.lower().endswith(".png")
+        res = client.render(depth, normals=normals, color=color,
+                            out="png" if out_png else "pfm", **overrides)
+        if out_png:
+            with open(opath, "wb") as f:
+                f.write(res)
+        else:
+            from tpuao.utils.frameio import save_pfm
+
+            save_pfm(opath, res)
+        return depth.shape
+
+    try:
+        if not any(c in a.input for c in "*?["):
+            shape = one(a.input, a.normals, a.color, a.output)
+            print(f"{a.input} {shape[1]}x{shape[0]} -> {a.output} "
+                  f"(rendered by {a.server})")
+            return 0
+        import glob as globlib
+
+        dpaths = sorted(globlib.glob(a.input))
+        if not dpaths:
+            print(f"error: no files match {a.input!r}", file=sys.stderr)
+            return 2
+        streams = {}
+        for pat, name in ((a.normals, "--normals"), (a.color, "--color")):
+            if pat:
+                p = sorted(globlib.glob(pat))
+                if len(p) != len(dpaths):
+                    print(f"error: {name} matches {len(p)} files, depth "
+                          f"matches {len(dpaths)}", file=sys.stderr)
+                    return 2
+                streams[name] = p
+        os.makedirs(a.output, exist_ok=True)
+        for i, d in enumerate(dpaths):
+            stem = os.path.splitext(os.path.basename(d))[0]
+            one(d,
+                streams.get("--normals", [None] * len(dpaths))[i],
+                streams.get("--color", [None] * len(dpaths))[i],
+                os.path.join(a.output, f"{stem}_ao.{a.out_format}"))
+        print(f"{len(dpaths)} frames -> {a.output} "
+              f"(rendered by {a.server})")
+        return 0
+    except (RuntimeError, TimeoutError, urllib.error.URLError) as e:
+        # backend/transport faults: message + status 1 (vs 2 for usage
+        # errors); ValueError (client- or server-side validation)
+        # propagates to main()'s shared handler
+        print(f"error: {e}", file=sys.stderr)
+        return 1
+
+
 def _cmd_render(a) -> int:
+    if a.server:
+        return _cmd_render_remote(a)
     if a.autotune_cache:
         from tpuao.utils import autotune
 

@@ -1,0 +1,163 @@
+"""Thin HTTP client for the tpuao serving endpoint (``tpuao.serving``).
+
+The fleet-deployment client half (SURVEY.md SS2 L4 glue, service form):
+one warm AO server per TPU host (``tpuao serve``), many thin clients
+POSTing frames.  This module is deliberately **JAX-free** -- it imports
+only NumPy, the PFM bytes codec (``utils.frameio``) and the tunable
+table (``params.PARAM_RANGES``, plain dataclasses) -- so capture rigs
+and render farms can talk to an AO fleet without a JAX install or a
+device backend.
+
+    from tpuao.client import AOClient
+    c = AOClient("http://tpu-host:8080")
+    c.wait_ready()                      # /healthz gates on first compile
+    ao = c.render(depth)                                  # (H, W) f32
+    ao = c.render(depth, strength=2.0, fov=70.0)          # traced knobs
+    ao = c.render(depth, normals=nrm)                     # 'PF' normals
+    rgb = c.render(depth, normals=nrm, color=col)         # composited
+    png = c.render(depth, out="png")                      # encoded bytes
+
+Tunables are validated client-side against ``PARAM_RANGES`` (fail fast,
+no round trip); the server re-validates.  Server-side 400s surface as
+``ValueError`` with the server's message, 5xx as ``RuntimeError`` -- the
+same split the serving layer makes between caller errors and backend
+faults.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+import numpy as np
+
+from tpuao.params import PARAM_RANGES
+from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+_CAMERA_KEYS = ("near", "far", "fov")
+
+
+class AOClient:
+    """Client for one AO server. ``base_url`` like ``http://host:port``."""
+
+    def __init__(self, base_url: str, timeout: float = 600.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    # -- plumbing ------------------------------------------------------------
+
+    def _get(self, path: str) -> bytes:
+        with urllib.request.urlopen(self.base_url + path,
+                                    timeout=self.timeout) as r:
+            return r.read()
+
+    def _get_json(self, path: str) -> dict:
+        return json.loads(self._get(path))
+
+    # -- observability -------------------------------------------------------
+
+    def healthy(self) -> bool:
+        """True once the server has rendered a frame (GET /healthz)."""
+        try:
+            self._get("/healthz")
+            return True
+        except urllib.error.HTTPError:
+            return False  # 503 = still warming
+
+    def wait_ready(self, timeout: float = 900.0,
+                   interval: float = 2.0) -> float:
+        """Poll /healthz until ready; returns seconds waited.
+
+        The first compile on a remote TPU takes tens of seconds
+        (CLAUDE.md: 20-90 s per program) -- callers should gate traffic
+        on this, not on TCP connect."""
+        t0 = time.monotonic()
+        while True:
+            try:
+                if self.healthy():
+                    return time.monotonic() - t0
+            except urllib.error.URLError:
+                pass  # server not even listening yet
+            if time.monotonic() - t0 > timeout:
+                raise TimeoutError(
+                    f"server {self.base_url} not ready after {timeout} s")
+            time.sleep(interval)
+
+    def config(self) -> dict:
+        """The engine's current AOParams/CameraParams (GET /config)."""
+        return self._get_json("/config")
+
+    def stats(self) -> dict:
+        """Server observability counters (GET /stats)."""
+        return self._get_json("/stats")
+
+    # -- rendering -----------------------------------------------------------
+
+    def render(self, depth, normals=None, color=None, *, out: str = "pfm",
+               **overrides):
+        """POST one frame; returns (H, W[, 3]) float32, or PNG bytes.
+
+        ``depth`` is (H, W) float32 in the server engine's depth
+        convention (the stock server expects normalized linear depth);
+        ``normals``/``color`` are optional (H, W, 3) buffers riding the
+        same body as concatenated PFM frames.  ``overrides`` are the
+        per-request knobs: any tunable in ``PARAM_RANGES`` plus camera
+        ``near``/``far``/``fov`` -- all traced server-side, so varying
+        them never recompiles."""
+        if out not in ("pfm", "png"):
+            raise ValueError(f"out must be 'pfm' or 'png', got {out!r}")
+        q = {}
+        for k, v in overrides.items():
+            if k in PARAM_RANGES:
+                lo, hi = PARAM_RANGES[k]
+                v = float(v)
+                if not lo <= v <= hi:
+                    raise ValueError(
+                        f"{k}={v} outside [{lo}, {hi}]")
+            elif k == "fov":
+                v = float(v)
+                if not 0 < v < 180:
+                    raise ValueError(f"fov={v} outside (0, 180)")
+            elif k in _CAMERA_KEYS:
+                v = float(v)
+            else:
+                raise ValueError(
+                    f"unknown override {k!r}: tunables are "
+                    f"{sorted(PARAM_RANGES)} plus camera {_CAMERA_KEYS}")
+            q[k] = repr(v)
+        depth = np.asarray(depth, np.float32)
+        if depth.ndim != 2:
+            raise ValueError(f"depth must be (H, W), got {depth.shape}")
+        frames = [depth]
+        if normals is not None:
+            frames.append(np.asarray(normals, np.float32))
+        if color is not None:
+            frames.append(np.asarray(color, np.float32))
+            if normals is None:
+                # positional meaning of frame 2 defaults to normals
+                q["buffers"] = "depth,color"
+        if out != "pfm":
+            q["out"] = out
+        qs = ("?" + urllib.parse.urlencode(q)) if q else ""
+        body = b"".join(dumps_pfm(f) for f in frames)
+        req = urllib.request.Request(f"{self.base_url}/ao{qs}", data=body)
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                payload = r.read()
+        except urllib.error.HTTPError as e:
+            msg = e.read().decode(errors="replace")
+            if e.code == 400:  # caller error, server's message says why
+                raise ValueError(f"server rejected request: {msg}") from None
+            raise RuntimeError(
+                f"server error HTTP {e.code}: {msg}") from None
+        return payload if out == "png" else loads_pfm(payload)
+
+
+def request_ao(url: str, depth, normals=None, color=None, *,
+               out: str = "pfm", timeout: float = 600.0, **overrides):
+    """One-shot convenience: ``AOClient(url).render(...)``."""
+    return AOClient(url, timeout=timeout).render(
+        depth, normals=normals, color=color, out=out, **overrides)
