@@ -153,6 +153,34 @@ def test_wait_ready_and_stats(scene):
         srv.server_close()
 
 
+def test_render_many_fills_batcher_flushes(scene):
+    """Concurrent fan-out from ONE client actually shares the server's
+    micro-batched flushes (a sequential loop would leave every flush at
+    size 1); results come back in input order and match per-frame."""
+    from tpuao import serving as S
+
+    z, _, _ = scene
+    depths = [z + 0.001 * k for k in range(8)]
+    srv = S.make_server(0, batch_size=4)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = AOClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        c.render(z)  # warm the compiled batch program once
+        got = c.render_many(depths, workers=8)
+        singles = [c.render(d) for d in depths]
+        for g, s in zip(got, singles):
+            np.testing.assert_allclose(g, s, atol=1e-6)
+        st = srv.batcher.stats()
+        # 8 concurrent frames over batch_size=4: strictly fewer flushes
+        # than frames proves real batching happened
+        assert st["frames"] >= 8
+        assert st["flushes"] < st["frames"]
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_cli_remote_render(base, scene, tmp_path, capsys):
     """`tpuao render --server URL` round-trips through the endpoint and
     rejects server-side state flags."""

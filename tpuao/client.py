@@ -156,6 +156,25 @@ class AOClient:
         return payload if out == "png" else loads_pfm(payload)
 
 
+    def render_many(self, depths, *, workers: int = 8, **kw):
+        """Render a sequence of depth frames via concurrent requests.
+
+        The server's ``MicroBatcher`` only batches requests that are IN
+        FLIGHT TOGETHER -- a sequential client loop leaves every flush
+        at size 1, paying the full per-launch dispatch per frame (the
+        ``streaming_1080p_host_launch`` rows in BENCH_DETAIL.json
+        measure that tax).  This fans the frames out over ``workers``
+        threads so same-shape frames actually share batched flushes.
+        Returns results in input order; a failed frame re-raises its
+        error after the pool drains."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        depths = list(depths)
+        with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
+            futs = [pool.submit(self.render, d, **kw) for d in depths]
+            return [f.result() for f in futs]
+
+
 def request_ao(url: str, depth, normals=None, color=None, *,
                out: str = "pfm", timeout: float = 600.0, **overrides):
     """One-shot convenience: ``AOClient(url).render(...)``."""
