@@ -213,3 +213,29 @@ def test_cli_remote_render(base, scene, tmp_path, capsys):
                "--server", "http://127.0.0.1:9"])  # discard port, refused
     assert rc == 1
     assert "error:" in capsys.readouterr().err
+
+
+def test_cli_remote_sequence(base, scene, tmp_path, capsys):
+    """Glob sequence mode works remotely: per-frame requests, outputs
+    named like the local sequence path."""
+    import os
+
+    from tpuao.cli import main
+    from tpuao.utils.frameio import load_pfm, save_pfm
+
+    z, _, _ = scene
+    seq = tmp_path / "seq"
+    out = tmp_path / "out"
+    os.makedirs(seq)
+    for k in range(3):
+        save_pfm(str(seq / f"f{k:03d}.pfm"), z + 0.001 * k)
+    rc = main(["render", str(seq / "f*.pfm"), str(out), "--server", base])
+    assert rc == 0
+    assert "3 frames" in capsys.readouterr().out
+    got = sorted(os.listdir(out))
+    assert got == ["f000_ao.pfm", "f001_ao.pfm", "f002_ao.pfm"]
+    aos = [load_pfm(str(out / p)) for p in got]
+    for ao in aos:
+        assert ao.shape == z.shape and 0.0 <= ao.min() <= ao.max() <= 1.0
+    # frames differ, so outputs must differ (order preserved, no dup)
+    assert np.abs(aos[0] - aos[2]).max() > 0
