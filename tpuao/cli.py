@@ -50,7 +50,8 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--color", help="color frame to composite (.pfm/.png); "
                    "glob in sequence mode")
     r.add_argument("--batch", type=int, default=4,
-                   help="frames per device batch in sequence mode")
+                   help="frames per device batch in sequence mode "
+                   "(with --server: concurrent in-flight requests)")
     r.add_argument("--out-format", choices=("pfm", "png"), default="pfm",
                    help="output format in sequence mode")
     r.add_argument("--config", help="engine config JSON (save_config)")
@@ -314,12 +315,21 @@ def _cmd_render_remote(a) -> int:
                     return 2
                 streams[name] = p
         os.makedirs(a.output, exist_ok=True)
-        for i, d in enumerate(dpaths):
-            stem = os.path.splitext(os.path.basename(d))[0]
-            one(d,
-                streams.get("--normals", [None] * len(dpaths))[i],
-                streams.get("--color", [None] * len(dpaths))[i],
+        npaths = streams.get("--normals", [None] * len(dpaths))
+        cpaths = streams.get("--color", [None] * len(dpaths))
+
+        def job(i):
+            stem = os.path.splitext(os.path.basename(dpaths[i]))[0]
+            one(dpaths[i], npaths[i], cpaths[i],
                 os.path.join(a.output, f"{stem}_ao.{a.out_format}"))
+
+        # --batch remotely = concurrent in-flight requests: sequential
+        # POSTs would leave every server micro-batch flush at size 1
+        # (see client.AOClient.render_many)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max(1, a.batch)) as pool:
+            list(pool.map(job, range(len(dpaths))))
         print(f"{len(dpaths)} frames -> {a.output} "
               f"(rendered by {a.server})")
         return 0
