@@ -200,7 +200,22 @@ def test_cli_remote_render(base, scene, tmp_path, capsys):
                         AOParams(strength=1.5))
     np.testing.assert_allclose(load_pfm(str(dst)), np.asarray(want),
                                atol=1e-6)
-    assert "rendered by" in capsys.readouterr().out
+    cap = capsys.readouterr()
+    assert "rendered by" in cap.out
+    # a .pfm defaults to hardware depth locally but the stock server is
+    # linear-mode: the silent-divergence trap warns loudly
+    assert "depth_mode" in cap.err
+
+    # explicit --depth-mode matching the server renders silently
+    rc = main(["render", str(src), str(dst), "--server", base,
+               "--depth-mode", "linear"])
+    assert rc == 0
+    assert "depth_mode" not in capsys.readouterr().err
+    # ... and a mismatching one is an error, not a wrong answer
+    rc = main(["render", str(src), str(dst), "--server", base,
+               "--depth-mode", "hardware"])
+    assert rc == 2
+    assert "depth_mode" in capsys.readouterr().err
 
     # engine-state flags are rejected, not silently ignored
     rc = main(["render", str(src), str(dst), "--server", base,

@@ -407,8 +407,12 @@ def test_serve_retries_transient_faults(monkeypatch):
 
     from tpuao import serving as S
     from tpuao.utils import fixtures as F
+    from tpuao.utils import resilience
     from tpuao.utils.frameio import dumps_pfm, loads_pfm
 
+    # the retry backoff (2 + 4 s across both cases) is real wall-clock
+    # the suite should not pay; the retry LOGIC is what's under test
+    monkeypatch.setattr(resilience.time, "sleep", lambda s: None)
     real = S.render_frame
     calls = {"n": 0}
 

@@ -85,8 +85,9 @@ def _build_parser() -> argparse.ArgumentParser:
                    "or JAX backend is touched); tunables and "
                    "--near/--far/--fov ride as per-request query knobs, "
                    "while server-side state flags (--config/--preset/"
-                   "--impl/--sections/--debug-dump/--autotune-cache/"
-                   "--depth-mode) are rejected")
+                   "--impl/--sections/--debug-dump/--autotune-cache) are "
+                   "rejected; --depth-mode is checked against the "
+                   "server's engine convention (GET /config)")
 
     t = sub.add_parser("tune", help="autotune the scoped-VMEM fusion "
                        "budget for one frame shape (on-device sweep)")
@@ -121,6 +122,36 @@ def _load_image(path: str) -> tuple[np.ndarray, bool]:
     from tpuao.utils.frameio import load_pfm
 
     return load_pfm(path), False
+
+
+def _load_normals_frame(path: str) -> np.ndarray:
+    """Load + validate a normals frame, decoding PNG normal maps.
+
+    PNG normal maps carry the standard (n + 1) / 2 encoding; the
+    pipeline wants signed view-space components in [-1, 1] (feeding
+    [0, 1] pixel values silently skews the tangent test, review r3).
+    Float 'PF' .pfm buffers are raw.  Shared by the local and remote
+    render paths so validation and remap cannot drift."""
+    normals, was_png = _load_image(path)
+    if normals.ndim != 3 or 3 not in (normals.shape[0], normals.shape[-1]):
+        raise ValueError("--normals must be a 3-channel buffer, got "
+                         f"shape {normals.shape}")
+    return normals * 2.0 - 1.0 if was_png else normals
+
+
+def _match_streams(a, dpaths) -> dict:
+    """Glob the --normals/--color patterns; each must match depth 1:1."""
+    import glob as globlib
+
+    out = {}
+    for pat, name in ((a.normals, "--normals"), (a.color, "--color")):
+        if pat:
+            p = sorted(globlib.glob(pat))
+            if len(p) != len(dpaths):
+                raise ValueError(f"{name} matches {len(p)} files, "
+                                 f"depth matches {len(dpaths)}")
+            out[name] = p
+    return out
 
 
 def _save_image(path: str, arr: np.ndarray) -> None:
@@ -247,10 +278,12 @@ def _cmd_render_remote(a) -> int:
     local, the device render happens wherever ``tpuao serve`` runs.  The
     flags that configure the ENGINE (config/preset/impl/sections/...)
     are that server's state, not a request knob, so they are rejected
-    here rather than silently ignored; the depth convention is the
-    server engine's ``depth_mode`` (stock server: normalized linear,
-    which is exactly what a PNG depth input carries -- GET /config to
-    check a non-stock fleet).
+    here rather than silently ignored.  The depth convention is also the
+    server engine's (``depth_mode`` is static); it is fetched from
+    GET /config up front -- an explicit --depth-mode mismatch errors,
+    and an implicit local-default mismatch (a .pfm defaults to hardware
+    depth locally, the stock server renders linear) warns loudly
+    instead of silently changing the answer.
     """
     import urllib.error
 
@@ -258,8 +291,7 @@ def _cmd_render_remote(a) -> int:
                            ("--impl", a.impl != "auto"),
                            ("--sections", a.sections > 1),
                            ("--debug-dump", a.debug_dump),
-                           ("--autotune-cache", a.autotune_cache),
-                           ("--depth-mode", a.depth_mode)) if on]
+                           ("--autotune-cache", a.autotune_cache)) if on]
     if bad:
         print(f"error: {', '.join(bad)} configure the server-side engine; "
               "set them where `tpuao serve` runs", file=sys.stderr)
@@ -272,15 +304,39 @@ def _cmd_render_remote(a) -> int:
                       if getattr(a, k) is not None})
     client = AOClient(a.server)
 
+    # depth_mode is server-side STATE (a static engine knob, not a
+    # per-request query param), and the local and remote defaults
+    # differ: a .pfm rendered locally defaults to hardware depth, but
+    # the stock server engine is linear-mode.  The same command with
+    # --server silently changing the depth interpretation would be a
+    # wrong-answer trap, so check the server's convention up front:
+    # an explicit --depth-mode that mismatches is an error, an implicit
+    # mismatch of the local default gets a loud warning.
+    try:
+        server_mode = client.config()["camera"]["depth_mode"]
+    except (RuntimeError, TimeoutError, OSError) as e:
+        print(f"error: cannot reach {a.server}/config: {e}",
+              file=sys.stderr)
+        return 1
+    local_default = ("linear" if a.input.lower().endswith(".png")
+                     else "hardware")
+    if a.depth_mode and a.depth_mode != server_mode:
+        print(f"error: --depth-mode {a.depth_mode} but the server engine "
+              f"renders depth_mode={server_mode!r} (a static knob; "
+              "restart the server with the right engine or convert the "
+              "input)", file=sys.stderr)
+        return 2
+    if not a.depth_mode and server_mode != local_default:
+        print(f"note: server renders depth_mode={server_mode!r}; a local "
+              f"render of this input would default to {local_default!r}. "
+              f"Pass --depth-mode {server_mode} to confirm the input "
+              "matches the server's convention and silence this.",
+              file=sys.stderr)
+
     def one(dpath, npath, cpath, opath):
         depth, _ = _load_image(dpath)
-        normals = color = None
-        if npath:
-            normals, n_png = _load_image(npath)
-            if n_png:  # PNG normal maps carry (n + 1) / 2; see _cmd_render
-                normals = normals * 2.0 - 1.0
-        if cpath:
-            color, _ = _load_image(cpath)
+        normals = _load_normals_frame(npath) if npath else None
+        color = _load_image(cpath)[0] if cpath else None
         out_png = opath.lower().endswith(".png")
         res = client.render(depth, normals=normals, color=color,
                             out="png" if out_png else "pfm", **overrides)
@@ -305,15 +361,7 @@ def _cmd_render_remote(a) -> int:
         if not dpaths:
             print(f"error: no files match {a.input!r}", file=sys.stderr)
             return 2
-        streams = {}
-        for pat, name in ((a.normals, "--normals"), (a.color, "--color")):
-            if pat:
-                p = sorted(globlib.glob(pat))
-                if len(p) != len(dpaths):
-                    print(f"error: {name} matches {len(p)} files, depth "
-                          f"matches {len(dpaths)}", file=sys.stderr)
-                    return 2
-                streams[name] = p
+        streams = _match_streams(a, dpaths)
         os.makedirs(a.output, exist_ok=True)
         npaths = streams.get("--normals", [None] * len(dpaths))
         cpaths = streams.get("--color", [None] * len(dpaths))
@@ -359,22 +407,8 @@ def _cmd_render(a) -> int:
         return 2
     camera, params = _build_component(a, was_png)
 
-    normals = color = None
-    if a.normals:
-        normals, n_png = _load_image(a.normals)
-        if normals.ndim != 3 or 3 not in (normals.shape[0],
-                                          normals.shape[-1]):
-            print("error: --normals must be a 3-channel buffer, got "
-                  f"shape {normals.shape}", file=sys.stderr)
-            return 2
-        if n_png:
-            # PNG normal maps carry the standard (n + 1) / 2 encoding;
-            # the pipeline wants signed view-space components in [-1, 1]
-            # (feeding [0, 1] pixel values silently skews the tangent
-            # test, review r3).  Float 'PF' .pfm buffers are raw.
-            normals = normals * 2.0 - 1.0
-    if a.color:
-        color, _ = _load_image(a.color)
+    normals = _load_normals_frame(a.normals) if a.normals else None
+    color = _load_image(a.color)[0] if a.color else None
 
     if a.sections > 1:
         if a.debug_dump:
@@ -435,15 +469,9 @@ def _cmd_render_sequence(a) -> int:
         print("error: --debug-dump/--sections need single-frame mode",
               file=sys.stderr)
         return 2
-    streams = [dpaths]
-    for pat, name in ((a.normals, "--normals"), (a.color, "--color")):
-        if pat:
-            p = sorted(globlib.glob(pat))
-            if len(p) != len(dpaths):
-                print(f"error: {name} matches {len(p)} files, "
-                      f"depth matches {len(dpaths)}", file=sys.stderr)
-                return 2
-            streams.append(p)
+    matched = _match_streams(a, dpaths)
+    streams = [dpaths] + [matched[k] for k in ("--normals", "--color")
+                          if k in matched]
     camera, params = _build_component(a, was_png=False)
     eng = AmbientOcclusionEngine(camera, params, impl=a.impl)
 

@@ -60,12 +60,21 @@ class AOClient:
     # -- observability -------------------------------------------------------
 
     def healthy(self) -> bool:
-        """True once the server has rendered a frame (GET /healthz)."""
+        """True once the server has rendered a frame (GET /healthz).
+
+        503 reads as "still warming" -> False.  Any OTHER status raises
+        (a 404 means a mistyped base_url, not a warming server -- it
+        must fail fast, not be polled for 900 s); transport errors
+        (refused / reset / mid-restart) propagate to the caller."""
         try:
             self._get("/healthz")
             return True
-        except urllib.error.HTTPError:
-            return False  # 503 = still warming
+        except urllib.error.HTTPError as e:
+            if e.code == 503:
+                return False
+            raise RuntimeError(
+                f"unexpected HTTP {e.code} from {self.base_url}/healthz "
+                "(wrong base_url?)") from None
 
     def wait_ready(self, timeout: float = 900.0,
                    interval: float = 2.0) -> float:
@@ -73,14 +82,21 @@ class AOClient:
 
         The first compile on a remote TPU takes tens of seconds
         (CLAUDE.md: 20-90 s per program) -- callers should gate traffic
-        on this, not on TCP connect."""
+        on this, not on TCP connect.  Transport-level faults (not yet
+        listening, connection refused/reset mid-restart) keep polling;
+        a non-503 HTTP status still fails fast via ``healthy``."""
+        import http.client
+
         t0 = time.monotonic()
         while True:
             try:
                 if self.healthy():
                     return time.monotonic() - t0
-            except urllib.error.URLError:
-                pass  # server not even listening yet
+            # OSError covers URLError AND the bare socket faults urllib
+            # lets through (RemoteDisconnected is a ConnectionResetError);
+            # HTTPException covers the rest of the mid-restart zoo
+            except (OSError, http.client.HTTPException):
+                pass
             if time.monotonic() - t0 > timeout:
                 raise TimeoutError(
                     f"server {self.base_url} not ready after {timeout} s")

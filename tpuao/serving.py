@@ -191,12 +191,17 @@ class AOHandler(BaseHTTPRequestHandler):
                         camera = camera.replace(**cam_over).validate()
                     # retry_transient: the relayed backend's observed
                     # transient faults (HTTP 500 / worker restart) retry
-                    # instead of surfacing as client 500s; the wrapper
-                    # resolves the module global per request so tests can
-                    # monkeypatch ``serving.render_frame`` with a flake
-                    ao = np.asarray(retry_transient(render_frame)(
+                    # instead of surfacing as client 500s.  The wrapped
+                    # callable INCLUDES np.asarray: dispatch is async, so
+                    # an UNAVAILABLE raised during execution surfaces at
+                    # materialization, which must sit inside the retry.
+                    # render_frame is resolved per call so tests can
+                    # monkeypatch ``serving.render_frame`` with a flake.
+                    ao = retry_transient(
+                        lambda *a, **kw: np.asarray(
+                            render_frame(*a, **kw)))(
                         depth, camera, params, normals=normals,
-                        color=color, impl=eng.impl))
+                        color=color, impl=eng.impl)
             else:
                 # default-tunable requests ride the micro-batcher: many
                 # concurrent clients share fixed-shape batched programs
@@ -261,7 +266,9 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
     srv.stats = {"requests": 0, "ok": 0, "errors": 0,
                  "direct": 0, "batched": 0}
     srv.latencies = deque(maxlen=1024)  # end-to-end ms, ok requests only
-    srv.max_body = 512 << 20  # an 8K 'PF' frame is ~400 MB; reject above
+    # the largest legal multi-buffer body is an 8K depth + 'PF' normals +
+    # 'PF' color request: ~133 + 398 + 398 MB; reject above 1 GiB
+    srv.max_body = 1024 << 20
     if mesh is not None and not batch_size:
         batch_size = int(mesh.devices.size)  # one view per chip
     if batch_size:
@@ -271,7 +278,11 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
         render = (eng.render if mesh is None
                   else (lambda d: eng.render_views(d, mesh=mesh)))
         # same retry policy as the direct path: a transient relay fault
-        # fails a whole flush otherwise (every rider gets the error)
-        srv.batcher = MicroBatcher(retry_transient(render),
-                                   batch_size=batch_size)
+        # fails a whole flush otherwise (every rider gets the error).
+        # Materialize INSIDE the wrapper -- async-dispatched faults
+        # surface at np.asarray, which the batcher would otherwise call
+        # outside the retry.
+        srv.batcher = MicroBatcher(
+            retry_transient(lambda d: np.asarray(render(d))),
+            batch_size=batch_size)
     return srv
