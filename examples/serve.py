@@ -2,7 +2,7 @@
 """Minimal AO serving endpoint: PFM depth in -> PFM (or PNG) AO out.
 
     python examples/serve.py [port] [--config cfg.json] [--batch 4]
-                             [--warmup HxW]
+                             [--warmup HxW] [--warmup-buffers normals,color]
 
 Thin front end over ``tpuao.serving`` (the deployment-layer component:
 AOHandler + make_server; see its module docstring for the HTTP API).
@@ -46,6 +46,13 @@ def main(argv):
                     help="micro-batch size for default-tunable requests")
     ap.add_argument("--warmup", metavar="HxW",
                     help="pre-compile for this frame shape before serving")
+    ap.add_argument("--warmup-buffers", metavar="LIST",
+                    help="with --warmup: also pre-compile the multi-buffer "
+                    "programs (comma list from {normals,color}; every "
+                    "non-empty combination is warmed, e.g. "
+                    "'normals,color' compiles the normal-weighted, "
+                    "composited, and normal-weighted-composited programs "
+                    "-- each is a distinct static shape)")
     ap.add_argument("--views", type=int, default=0,
                     help="shard each batch flush over an N-device view "
                     "mesh (fleet serving; implies --batch N)")
@@ -65,22 +72,19 @@ def main(argv):
         mesh = make_mesh(a.views)
     srv = make_server(a.port, eng, verbose=True, batch_size=a.batch,
                       mesh=mesh)
+    if a.warmup_buffers and not a.warmup:
+        ap.error("--warmup-buffers needs --warmup HxW")
     if a.warmup:
+        from tpuao.serving import warm_server
+
         h, w = (int(v) for v in a.warmup.split("x"))
-        np.asarray(srv.engine.render(np.full((h, w), 0.5, np.float32)))
-        if srv.batcher is not None:
-            # default-tunable traffic runs the BATCHED (possibly
-            # mesh-sharded) program, a different compile than the
-            # single-frame one above -- warm it too or the readiness
-            # gate lies and the first real request eats the compile
-            futs = [srv.batcher.submit(np.full((h, w), 0.5, np.float32))
-                    for _ in range(srv.batcher.batch_size)]
-            for f in futs:
-                f.result()
-        srv.warmed = True
-        print(f"warmed up for {h}x{w}"
-              + (f" (batch {srv.batcher.batch_size})"
-                 if srv.batcher is not None else ""))
+        bufs = ([s.strip() for s in a.warmup_buffers.split(",")
+                 if s.strip()] if a.warmup_buffers else ())
+        try:
+            warmed = warm_server(srv, (h, w), bufs)
+        except ValueError as e:
+            ap.error(str(e))
+        print(f"warmed up for {h}x{w}: {', '.join(warmed)}")
     print(f"tpuao serving on http://127.0.0.1:{srv.server_address[1]} "
           f"(POST /ao, GET /config, GET /healthz)")
     srv.serve_forever()

@@ -398,6 +398,29 @@ def test_serve_endpoint_multibuffer():
         srv.server_close()
 
 
+def test_warm_server_compiles_all_advertised_programs():
+    """warm_server marks the server ready and pre-compiles every
+    program combination the /ao handler can route to, so the first
+    real normals/composite request does not eat a compile after the
+    readiness gate already said 200."""
+    import pytest
+
+    from tpuao import serving as S
+
+    srv = S.make_server(0, batch_size=2)
+    try:
+        assert not srv.warmed
+        warmed = S.warm_server(srv, (64, 96), ("normals", "color"))
+        assert srv.warmed
+        assert warmed == ["depth", "depth[batch 2]", "depth+color",
+                          "depth+normals", "depth+color+normals"]
+        with pytest.raises(ValueError, match="unknown warmup buffers"):
+            S.warm_server(srv, (64, 96), ("normals", "albedo"))
+    finally:
+        srv.batcher.close()
+        srv.server_close()
+
+
 def test_serve_retries_transient_faults(monkeypatch):
     """A transient relay fault (the observed UNAVAILABLE / HTTP 500
     class) is retried inside the endpoint instead of surfacing as a

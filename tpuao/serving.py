@@ -232,6 +232,53 @@ class AOHandler(BaseHTTPRequestHandler):
         self._send(200, body, ctype)
 
 
+def warm_server(srv, shape, buffers=()) -> list[str]:
+    """Pre-compile the server's programs for one frame shape.
+
+    Compiles the single-frame program, the batched program when a
+    micro-batcher is configured (a DIFFERENT compile -- without it the
+    readiness gate lies and the first real request eats the compile),
+    and, for each non-empty combination of ``buffers`` (subset of
+    {"normals", "color"}), exactly the multi-buffer program the /ao
+    handler builds for that combination (``use_normals`` flips
+    statically, and a present color arg changes the program structure).
+    Marks the server warm; returns the list of warmed program names.
+    """
+    from itertools import combinations
+
+    h, w = shape
+    unknown = set(buffers) - {"normals", "color"}
+    if unknown:
+        raise ValueError(f"unknown warmup buffers {sorted(unknown)} "
+                         "(choose from normals,color)")
+    zz = np.full((h, w), 0.5, np.float32)
+    eng = srv.engine
+    warmed = ["depth"]
+    np.asarray(eng.render(zz))
+    if srv.batcher is not None:
+        futs = [srv.batcher.submit(np.full((h, w), 0.5, np.float32))
+                for _ in range(srv.batcher.batch_size)]
+        for f in futs:
+            f.result()
+        warmed.append(f"depth[batch {srv.batcher.batch_size}]")
+    wants = sorted(set(buffers))
+    if wants:
+        nrm = np.zeros((h, w, 3), np.float32)
+        nrm[..., 2] = 1.0
+        col = np.full((h, w, 3), 0.5, np.float32)
+        for combo in (c for r in range(1, len(wants) + 1)
+                      for c in combinations(wants, r)):
+            params = (eng.params.replace(use_normals=True)
+                      if "normals" in combo else eng.params)
+            np.asarray(render_frame(
+                zz, eng.camera, params,
+                normals=nrm if "normals" in combo else None,
+                color=col if "color" in combo else None, impl=eng.impl))
+            warmed.append("depth+" + "+".join(combo))
+    srv.warmed = True
+    return warmed
+
+
 class AOServer(ThreadingHTTPServer):
     """ThreadingHTTPServer that also shuts the micro-batcher down."""
 
