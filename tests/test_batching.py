@@ -67,6 +67,59 @@ def test_mixed_shapes_group_separately():
         atol=1e-6)
 
 
+def test_multibuffer_submits_batch_homogeneously():
+    """normals/color extras ride the queueing: same-combination requests
+    share a flush (stacked extras arrive as keywords), different
+    combinations never mix, and results match the per-frame render."""
+    calls = []
+
+    def render(batch, normals=None, color=None):
+        calls.append((batch.shape,
+                      None if normals is None else normals.shape,
+                      None if color is None else color.shape))
+        params = (PAR.replace(use_normals=True) if normals is not None
+                  else PAR)
+        return render_frame(batch, CAM, params, normals=normals,
+                            color=color, impl="jnp")
+
+    z, nrm = F.spheres_on_plane(64, 128, n_spheres=2, seed=4,
+                                with_normals=True)
+    z = z.astype(np.float32)
+    nrm = nrm.astype(np.float32)
+    col = np.random.default_rng(0).uniform(
+        0, 1, (64, 128, 3)).astype(np.float32)
+    with MicroBatcher(render, batch_size=2, max_delay_ms=200.0) as mb:
+        fn = [mb.submit(z, normals=nrm), mb.submit(z, normals=nrm)]
+        fd = mb.submit(z)
+        fc = mb.submit(z, normals=nrm, color=col)
+        aon = [f.result(timeout=120) for f in fn]
+        aod = fd.result(timeout=120)
+        rgb = fc.result(timeout=120)
+    # the two normals requests shared ONE flush; depth-only and
+    # normals+color each flushed separately (homogeneous keys)
+    kinds = sorted((c[1] is not None, c[2] is not None) for c in calls)
+    assert len(calls) == 3 and kinds == [
+        (False, False), (True, False), (True, True)]
+    want_n = np.asarray(render_frame(
+        z, CAM, PAR.replace(use_normals=True), normals=nrm, impl="jnp"))
+    for ao in aon:
+        np.testing.assert_allclose(ao, want_n, atol=1e-6)
+    np.testing.assert_allclose(
+        aod, np.asarray(render_frame(z, CAM, PAR, impl="jnp")), atol=1e-6)
+    want_c = np.asarray(render_frame(
+        z, CAM, PAR.replace(use_normals=True), normals=nrm, color=col,
+        impl="jnp"))
+    assert rgb.shape == (64, 128, 3)
+    np.testing.assert_allclose(rgb, want_c, atol=1e-6)
+
+    # malformed extras are rejected at submit, not at flush
+    with MicroBatcher(render, batch_size=2) as mb:
+        with pytest.raises(ValueError, match="normals"):
+            mb.submit(z, normals=nrm[:32])
+        with pytest.raises(ValueError, match="color"):
+            mb.submit(z, color=col[:, :64])
+
+
 def test_concurrent_submitters():
     frames = [F.spheres_on_plane(64, 128, n_spheres=2, seed=20 + s
                                  ).astype(np.float32) for s in range(8)]

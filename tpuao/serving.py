@@ -161,8 +161,8 @@ class AOHandler(BaseHTTPRequestHandler):
                 raise ValueError(f"color frame shape {color.shape} does "
                                  f"not match depth {depth.shape}")
             eng = self.server.engine
-            direct = (tunables or cam_over or normals is not None
-                      or color is not None or self.server.batcher is None)
+            direct = bool(tunables or cam_over
+                          or self.server.batcher is None)
             self._count("direct" if direct else "batched")
             if direct:
                 with self.server.lock:
@@ -205,7 +205,11 @@ class AOHandler(BaseHTTPRequestHandler):
             else:
                 # default-tunable requests ride the micro-batcher: many
                 # concurrent clients share fixed-shape batched programs
-                ao = self.server.batcher.submit(depth).result()
+                # (multi-buffer requests batch with same-combination
+                # requests; the flush flips use_normals like the direct
+                # path would)
+                ao = self.server.batcher.submit(
+                    depth, normals=normals, color=color).result()
             # encode INSIDE the try: a missing Pillow (optional 'io'
             # extra) or encode fault must surface as a counted 500, not
             # an aborted connection after ok was already recorded
@@ -235,14 +239,15 @@ class AOHandler(BaseHTTPRequestHandler):
 def warm_server(srv, shape, buffers=()) -> list[str]:
     """Pre-compile the server's programs for one frame shape.
 
-    Compiles the single-frame program, the batched program when a
-    micro-batcher is configured (a DIFFERENT compile -- without it the
-    readiness gate lies and the first real request eats the compile),
-    and, for each non-empty combination of ``buffers`` (subset of
-    {"normals", "color"}), exactly the multi-buffer program the /ao
-    handler builds for that combination (``use_normals`` flips
-    statically, and a present color arg changes the program structure).
-    Marks the server warm; returns the list of warmed program names.
+    For every combination of ``buffers`` (subsets of
+    {"normals", "color"}, including the empty depth-only one) this
+    compiles exactly the programs the /ao handler can route that
+    combination to: the direct single-frame program and, when a
+    micro-batcher is configured, the batched program too (a DIFFERENT
+    compile -- without it the readiness gate lies and the first real
+    request eats the compile; ``use_normals`` flips statically and a
+    present color arg changes the program structure).  Marks the server
+    warm; returns the list of warmed program names.
     """
     from itertools import combinations
 
@@ -252,29 +257,31 @@ def warm_server(srv, shape, buffers=()) -> list[str]:
         raise ValueError(f"unknown warmup buffers {sorted(unknown)} "
                          "(choose from normals,color)")
     zz = np.full((h, w), 0.5, np.float32)
+    nrm = np.zeros((h, w, 3), np.float32)
+    nrm[..., 2] = 1.0
+    col = np.full((h, w, 3), 0.5, np.float32)
     eng = srv.engine
-    warmed = ["depth"]
-    np.asarray(eng.render(zz))
-    if srv.batcher is not None:
-        futs = [srv.batcher.submit(np.full((h, w), 0.5, np.float32))
-                for _ in range(srv.batcher.batch_size)]
-        for f in futs:
-            f.result()
-        warmed.append(f"depth[batch {srv.batcher.batch_size}]")
+    warmed = []
     wants = sorted(set(buffers))
-    if wants:
-        nrm = np.zeros((h, w, 3), np.float32)
-        nrm[..., 2] = 1.0
-        col = np.full((h, w, 3), 0.5, np.float32)
-        for combo in (c for r in range(1, len(wants) + 1)
-                      for c in combinations(wants, r)):
-            params = (eng.params.replace(use_normals=True)
-                      if "normals" in combo else eng.params)
-            np.asarray(render_frame(
-                zz, eng.camera, params,
-                normals=nrm if "normals" in combo else None,
-                color=col if "color" in combo else None, impl=eng.impl))
-            warmed.append("depth+" + "+".join(combo))
+    for combo in (c for r in range(len(wants) + 1)
+                  for c in combinations(wants, r)):
+        kw = {}
+        if "normals" in combo:
+            kw["normals"] = nrm
+        if "color" in combo:
+            kw["color"] = col
+        params = (eng.params.replace(use_normals=True)
+                  if "normals" in combo else eng.params)
+        np.asarray(render_frame(zz, eng.camera, params, impl=eng.impl,
+                                **kw))
+        name = "depth" + ("+" + "+".join(combo) if combo else "")
+        warmed.append(name)
+        if srv.batcher is not None:
+            futs = [srv.batcher.submit(zz, **kw)
+                    for _ in range(srv.batcher.batch_size)]
+            for f in futs:
+                f.result()
+            warmed.append(f"{name}[batch {srv.batcher.batch_size}]")
     srv.warmed = True
     return warmed
 
@@ -322,14 +329,30 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
         from tpuao.utils.batching import MicroBatcher
 
         eng = srv.engine
-        render = (eng.render if mesh is None
-                  else (lambda d: eng.render_views(d, mesh=mesh)))
+        def batched_render(d, normals=None, color=None):
+            # the /ao handler's static-knob contract applies per flush:
+            # a normals batch flips use_normals exactly like the direct
+            # path (flushes are homogeneous, so the whole batch agrees)
+            params = eng.params
+            if normals is not None and not params.use_normals:
+                params = params.replace(use_normals=True)
+            if mesh is None:
+                return render_frame(d, eng.camera, params,
+                                    normals=normals, color=color,
+                                    impl=eng.impl)
+            from tpuao.parallel.sharding import render_views_sharded
+
+            return render_views_sharded(d, eng.camera, params,
+                                        normals=normals, color=color,
+                                        mesh=mesh, impl=eng.impl)
+
         # same retry policy as the direct path: a transient relay fault
         # fails a whole flush otherwise (every rider gets the error).
         # Materialize INSIDE the wrapper -- async-dispatched faults
         # surface at np.asarray, which the batcher would otherwise call
         # outside the retry.
         srv.batcher = MicroBatcher(
-            retry_transient(lambda d: np.asarray(render(d))),
+            retry_transient(
+                lambda d, **kw: np.asarray(batched_render(d, **kw))),
             batch_size=batch_size)
     return srv

@@ -21,6 +21,11 @@ component, but [BJ] config 5's multi-view deployment shape implies it.
 The render function receives a stacked ``(batch_size, H, W)`` array and
 must return a leading-batch result (``render_frame`` handles leading
 axes natively; pass a sharded-mode closure for multi-chip serving).
+Requests may carry ``normals``/``color`` extras: they batch only with
+requests of the same buffer combination + shapes, and the render
+function receives the stacked extras as keywords -- so a render
+function that serves multi-buffer traffic must accept
+``normals=None, color=None``.
 """
 
 from __future__ import annotations
@@ -55,17 +60,38 @@ class MicroBatcher:
             return dict(self._stats)
 
     # -- client side -------------------------------------------------------
-    def submit(self, depth) -> Future:
-        """Queue one (H, W) frame; returns a Future for its AO frame."""
+    def submit(self, depth, normals=None, color=None) -> Future:
+        """Queue one (H, W) frame; returns a Future for its result.
+
+        Optional per-frame ``normals`` (H, W, 3) and ``color`` buffers
+        ride the same queueing: requests batch only with requests
+        carrying the SAME buffer combination and shapes (the queue key),
+        so every flush is homogeneous and each combination compiles one
+        batched program.  The render function receives the stacked
+        extras as ``normals=``/``color=`` keywords."""
         depth = np.asarray(depth, dtype=np.float32)
         if depth.ndim != 2:
             raise ValueError(f"submit takes one (H, W) frame, "
                              f"got {depth.shape}")
+        if normals is not None:
+            normals = np.asarray(normals, dtype=np.float32)
+            if normals.shape != depth.shape + (3,):
+                raise ValueError(f"normals must be {depth.shape + (3,)} "
+                                 f"matching depth, got {normals.shape}")
+        if color is not None:
+            color = np.asarray(color, dtype=np.float32)
+            if color.shape[:2] != depth.shape:
+                raise ValueError(f"color shape {color.shape} does not "
+                                 f"match depth {depth.shape}")
+        key = (depth.shape,
+               None if normals is None else normals.shape,
+               None if color is None else color.shape)
         fut: Future = Future()
         with self._lock:
             if self._closed:
                 raise RuntimeError("MicroBatcher is closed")
-            self._queues[depth.shape].append((depth, fut, time.monotonic()))
+            self._queues[key].append(
+                ((depth, normals, color), fut, time.monotonic()))
             self._lock.notify()
         return fut
 
@@ -103,15 +129,21 @@ class MicroBatcher:
                 if ready is None:  # closed and drained
                     return
             _, items = ready
-            frames = [it[0] for it in items]
-            pad = self._bs - len(frames)
-            batch = np.stack(frames + [frames[-1]] * pad)
+            tups = [it[0] for it in items]
+            pad = self._bs - len(tups)
+            tups = tups + [tups[-1]] * pad
+            batch = np.stack([t[0] for t in tups])
+            kw = {}
+            if tups[0][1] is not None:
+                kw["normals"] = np.stack([t[1] for t in tups])
+            if tups[0][2] is not None:
+                kw["color"] = np.stack([t[2] for t in tups])
             with self._lock:
                 self._stats["flushes"] += 1
-                self._stats["frames"] += len(frames)
+                self._stats["frames"] += len(items)
                 self._stats["padded"] += pad
             try:
-                out = np.asarray(self._render(batch))
+                out = np.asarray(self._render(batch, **kw))
                 for i, (_, fut, _) in enumerate(items):
                     # own the frame's memory: a view into `out` would pin
                     # the whole (batch, H, W) block (pad frames included)
