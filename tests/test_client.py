@@ -176,6 +176,25 @@ def test_render_many_fills_batcher_flushes(scene):
         # than frames proves real batching happened
         assert st["frames"] >= 8
         assert st["flushes"] < st["frames"]
+
+        # one shared normals buffer broadcast to every frame, riding the
+        # batcher too (homogeneous multi-buffer flushes)
+        from tpuao.models.pipeline import render_frame
+        from tpuao.params import AOParams, CameraParams
+        from tpuao.utils import fixtures as F
+
+        _, nrm = F.spheres_on_plane(96, 128, n_spheres=3, seed=11,
+                                    with_normals=True)
+        nrm = nrm.astype(np.float32)
+        got_n = c.render_many(depths[:4], normals=nrm, workers=4)
+        for d, g in zip(depths[:4], got_n):
+            want = np.asarray(render_frame(
+                d, CameraParams(depth_mode="linear"),
+                AOParams(use_normals=True), normals=nrm))
+            np.testing.assert_allclose(g, want, atol=1e-6)
+        # per-frame sequence must match 1:1
+        with pytest.raises(ValueError, match="2 buffers for 4"):
+            c.render_many(depths[:4], normals=[nrm, nrm])
     finally:
         srv.shutdown()
         srv.server_close()

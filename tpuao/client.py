@@ -172,7 +172,8 @@ class AOClient:
         return payload if out == "png" else loads_pfm(payload)
 
 
-    def render_many(self, depths, *, workers: int = 8, **kw):
+    def render_many(self, depths, *, normals=None, color=None,
+                    workers: int = 8, **kw):
         """Render a sequence of depth frames via concurrent requests.
 
         The server's ``MicroBatcher`` only batches requests that are IN
@@ -181,13 +182,32 @@ class AOClient:
         ``streaming_1080p_host_launch`` rows in BENCH_DETAIL.json
         measure that tax).  This fans the frames out over ``workers``
         threads so same-shape frames actually share batched flushes.
-        Returns results in input order; a failed frame re-raises its
-        error after the pool drains."""
+
+        ``normals``/``color`` may be ``None``, ONE (H, W, 3) buffer
+        shared by every frame (a fixed camera's normals), or a sequence
+        with one buffer per depth frame.  Returns results in input
+        order; a failed frame re-raises its error after the pool
+        drains."""
         from concurrent.futures import ThreadPoolExecutor
 
         depths = list(depths)
+
+        def per_frame(buf, name):
+            if buf is None:
+                return [None] * len(depths)
+            if isinstance(buf, np.ndarray) and buf.ndim == 3:
+                return [buf] * len(depths)  # one buffer, every frame
+            buf = list(buf)
+            if len(buf) != len(depths):
+                raise ValueError(f"{name} holds {len(buf)} buffers for "
+                                 f"{len(depths)} depth frames")
+            return buf
+
+        nrms = per_frame(normals, "normals")
+        cols = per_frame(color, "color")
         with ThreadPoolExecutor(max_workers=max(1, workers)) as pool:
-            futs = [pool.submit(self.render, d, **kw) for d in depths]
+            futs = [pool.submit(self.render, d, normals=n, color=c, **kw)
+                    for d, n, c in zip(depths, nrms, cols)]
             return [f.result() for f in futs]
 
 
