@@ -446,6 +446,52 @@ def test_serve_multibuffer_rides_batcher():
         srv.server_close()
 
 
+def test_serve_multibuffer_view_sharded_batcher():
+    """Fleet shape + multi-buffer: normals flushes render view-sharded
+    across the mesh and match the single-device program."""
+    import threading
+    import urllib.request
+
+    from tpuao import serving as S
+    from tpuao.models.pipeline import render_frame
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.parallel.sharding import make_mesh
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0, mesh=make_mesh(2))  # batch_size = mesh size
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z, nrm = F.spheres_on_plane(96, 128, n_spheres=3, seed=13,
+                                    with_normals=True)
+        z = z.astype(np.float32)
+        nrm = nrm.astype(np.float32)
+        body = dumps_pfm(z) + dumps_pfm(nrm)
+        results = [None, None]
+
+        def post(i):
+            req = urllib.request.Request(f"{base}/ao", data=body)
+            results[i] = loads_pfm(
+                urllib.request.urlopen(req, timeout=600).read())
+
+        ts = [threading.Thread(target=post, args=(i,)) for i in range(2)]
+        for th in ts:
+            th.start()
+        for th in ts:
+            th.join()
+        want = np.asarray(render_frame(
+            z, CameraParams(depth_mode="linear"),
+            AOParams(use_normals=True), normals=nrm))
+        for r in results:
+            np.testing.assert_allclose(r, want, atol=1e-6)
+        assert srv.stats["batched"] == 2
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
 def test_warm_server_compiles_all_advertised_programs():
     """warm_server marks the server ready and pre-compiles every
     program combination the /ao handler can route to, so the first
