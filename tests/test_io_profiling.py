@@ -581,6 +581,28 @@ def test_serve_retries_transient_faults(monkeypatch):
         srv.server_close()
 
 
+def test_serve_load_script():
+    """The full-stack serving load harness runs and its accounting is
+    self-consistent (all requests complete, all ride the batcher)."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "benchmarks/serve_load.py", "--shape", "96x128",
+         "--requests", "8", "--concurrency", "4", "--batch", "2"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout)
+    assert out["completed"] == 8 and not out["errors"]
+    assert out["server_stats"]["batched"] == 8
+    assert out["server_stats"]["errors"] == 0
+    assert out["client_latency_ms"]["p50"] is not None
+
+
 def test_calibrate_script():
     import subprocess
     import sys
