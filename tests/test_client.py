@@ -128,6 +128,45 @@ def test_server_error_mapping(base, scene, monkeypatch):
         c.render(z)
 
 
+def test_client_transport_retry(base, scene, monkeypatch):
+    """Transport-level faults (reset/refused) are re-sent (renders are
+    pure); HTTP-status errors are never retried client-side (the server
+    already retried its own transient class before answering)."""
+    import urllib.request as ur
+
+    z, nrm, _ = scene
+    real = ur.urlopen
+    calls = {"n": 0}
+
+    def flaky(req, timeout=None):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise ConnectionResetError("peer reset mid-request")
+        return real(req, timeout=timeout)
+
+    monkeypatch.setattr(ur, "urlopen", flaky)
+    c = AOClient(base, backoff_s=0.0)
+    ao = c.render(z)
+    assert calls["n"] == 2 and ao.shape == z.shape  # one re-send, served
+
+    # a server 400 is a caller error: exactly ONE request, no retry
+    before = calls["n"]
+    with pytest.raises(ValueError, match="normals frame"):
+        c.render(z, normals=nrm[:48])
+    assert calls["n"] == before + 1
+
+    # retries exhausted -> the transport error surfaces
+    def dead(req, timeout=None):
+        calls["n"] += 1
+        raise ConnectionResetError("always")
+
+    monkeypatch.setattr(ur, "urlopen", dead)
+    before = calls["n"]
+    with pytest.raises(ConnectionResetError):
+        AOClient(base, retries=1, backoff_s=0.0).render(z)
+    assert calls["n"] == before + 2  # initial + 1 retry
+
+
 def test_wait_ready_and_stats(scene):
     """A fresh server is unhealthy until its first render; wait_ready
     returns promptly once a frame has gone through."""

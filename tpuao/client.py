@@ -41,11 +41,21 @@ _CAMERA_KEYS = ("near", "far", "fov")
 
 
 class AOClient:
-    """Client for one AO server. ``base_url`` like ``http://host:port``."""
+    """Client for one AO server. ``base_url`` like ``http://host:port``.
 
-    def __init__(self, base_url: str, timeout: float = 600.0):
+    ``retries`` re-sends a render request after TRANSPORT-level faults
+    (connection refused/reset, a server restart mid-request) -- renders
+    are pure, so a re-send is safe.  HTTP-status errors are never
+    retried here: 400s are caller errors, and the server already
+    retries its own transient device-fault class internally before
+    500ing (each layer retries exactly its own fault class)."""
+
+    def __init__(self, base_url: str, timeout: float = 600.0,
+                 retries: int = 2, backoff_s: float = 1.0):
         self.base_url = base_url.rstrip("/")
         self.timeout = timeout
+        self.retries = retries
+        self.backoff_s = backoff_s
 
     # -- plumbing ------------------------------------------------------------
 
@@ -159,16 +169,31 @@ class AOClient:
             q["out"] = out
         qs = ("?" + urllib.parse.urlencode(q)) if q else ""
         body = b"".join(dumps_pfm(f) for f in frames)
-        req = urllib.request.Request(f"{self.base_url}/ao{qs}", data=body)
-        try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as r:
-                payload = r.read()
-        except urllib.error.HTTPError as e:
-            msg = e.read().decode(errors="replace")
-            if e.code == 400:  # caller error, server's message says why
-                raise ValueError(f"server rejected request: {msg}") from None
-            raise RuntimeError(
-                f"server error HTTP {e.code}: {msg}") from None
+        import http.client
+
+        attempt = 0
+        while True:
+            req = urllib.request.Request(f"{self.base_url}/ao{qs}",
+                                         data=body)
+            try:
+                with urllib.request.urlopen(req,
+                                            timeout=self.timeout) as r:
+                    payload = r.read()
+                break
+            except urllib.error.HTTPError as e:
+                msg = e.read().decode(errors="replace")
+                if e.code == 400:  # caller error; the message says why
+                    raise ValueError(
+                        f"server rejected request: {msg}") from None
+                raise RuntimeError(
+                    f"server error HTTP {e.code}: {msg}") from None
+            except (OSError, http.client.HTTPException):
+                # transport fault (refused/reset/mid-restart): renders
+                # are pure, re-sending is safe
+                if attempt >= self.retries:
+                    raise
+                attempt += 1
+                time.sleep(self.backoff_s * attempt)
         return payload if out == "png" else loads_pfm(payload)
 
 
