@@ -30,8 +30,6 @@ if os.environ.get("JAX_PLATFORMS"):
 
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
-import numpy as np
-
 from tpuao.models.pipeline import AmbientOcclusionEngine
 from tpuao.serving import AOHandler, make_server  # noqa: F401 (re-export)
 
