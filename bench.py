@@ -3,20 +3,50 @@
 
 Runs the 5 BASELINE.json configs on the default backend (the real TPU chip
 under the driver), each reporting ms/frame | Mpix/s | max-abs-err vs the
-golden NumPy spec, writes the full table to BENCH_DETAIL.json, and prints
-ONE JSON line for the headline metric:
+golden NumPy spec, writes the table to BENCH_DETAIL.json, and prints ONE
+JSON line for the headline metric:
 
     1080p full 4-level hierarchical pipeline (config 2) ms/frame,
     vs_baseline = (1 ms north-star target) / measured  (>1 beats target).
 
-Env knobs: BENCH_FAST=1 skips the 4K golden error check (timing still runs);
-BENCH_REPS overrides rep count.
+Driver-proofing (VERDICT r3 item 1 -- round 3 lost its entire perf record
+to a relay flake because results only materialized at the very end):
+
+  * the HEADLINE config runs FIRST and its JSON line is printed the moment
+    it is measured (and again as the final line on a clean finish);
+  * BENCH_DETAIL.json is rewritten after EVERY section, so a killed run
+    still leaves everything completed so far on disk;
+  * each section is independently try/excepted (one flaky compile cannot
+    erase the others) and budget-gated: past BENCH_BUDGET_S, remaining
+    sections are skipped (recorded in "skipped");
+  * a watchdog thread hard-exits rc=0 -- after flushing the detail file and
+    re-printing the headline -- if the total hard deadline passes or the
+    relay goes silent mid-section (network rx bytes frozen for ~5 min = the
+    CLAUDE.md outage signature; a normal slow remote compile keeps
+    receiving bytes).
+
+Accuracy (VERDICT r3 item 2 -- no more null err cells): frames >4 Mpix are
+golden-checked on three deterministic 64-aligned 256x256 interior crops
+with a 320 px halo, using render_frame_golden(full_width=frame_wp).  The
+320 px halo is the pipeline's measured influence radius (same as
+parallel/spatial.stencil_halo_rows at d=4): the crop check is bit-equal to
+the full-frame golden (verified at 4K, diff 0.0; M=256 already leaks
+6e-3).  BENCH_FULL_ERR=1 switches to the full-frame golden (~90 s at 4K,
+~6 min at 8K of host NumPy) for the once-a-round full record.
+
+Env knobs: BENCH_REPS overrides chain length; BENCH_BUDGET_S soft budget
+(default 2100 s), hard watchdog exit at +600 s; BENCH_FULL_ERR=1 full-frame
+golden on >=4K; BENCH_FAST=1 legacy alias (sampled err, same as default);
+BENCH_SMOKE=1 tiny shapes for plumbing validation off-TPU.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import sys
+import threading
+import time
 
 import numpy as np
 
@@ -25,12 +55,34 @@ import jax.numpy as jnp
 
 from tpuao.golden import reference as G
 from tpuao.models.pipeline import ao_pipeline, single_scale_ao
-from tpuao.params import AOParams, CameraParams, to_golden
+from tpuao.params import AOParams, CameraParams, padded_shape, to_golden
 from tpuao.parallel.sharding import make_mesh
 from tpuao.utils import fixtures as F
 
 from tpuao.utils.profiling import device_time_ms
 from tpuao.utils import roofline as RL
+
+
+# on-device chain length; default auto-calibrates to ~400 ms chains (the
+# relay's RTT jitter divides by the chain length -- see utils.profiling)
+REPS = (int(os.environ["BENCH_REPS"])
+        if os.environ.get("BENCH_REPS") else None)
+FULL_ERR = os.environ.get("BENCH_FULL_ERR") == "1"
+SMOKE = os.environ.get("BENCH_SMOKE") == "1"
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
+HARD_S = BUDGET_S + 600.0
+BASELINE_MS = 1.0  # BASELINE.md north star: <1 ms/frame at 1080p on 1 chip
+
+# shapes per config; SMOKE shrinks everything so the full harness plumbing
+# can be validated on CPU in ~a minute (timings then mean nothing)
+SHAPES = {
+    "720p": (180, 320) if SMOKE else (720, 1280),
+    "1080p": (270, 512) if SMOKE else (1080, 1920),
+    "4k": (540, 1024) if SMOKE else (2160, 3840),
+    "8k": (1080, 2048) if SMOKE else (4320, 7680),
+}
+
+T0 = time.monotonic()
 
 
 def roofline(fn_jitted, measured_ms, h, w, *args, **traffic_kw):
@@ -43,13 +95,6 @@ def roofline(fn_jitted, measured_ms, h, w, *args, **traffic_kw):
                        relayout=RL.relayout_bytes(compiled), **traffic_kw)
     out["hbm"] = RL.hbm_mb(compiled)  # deployment peak-HBM record
     return out
-
-# on-device chain length; default auto-calibrates to ~400 ms chains (the
-# relay's RTT jitter divides by the chain length -- see utils.profiling)
-REPS = (int(os.environ["BENCH_REPS"])
-        if os.environ.get("BENCH_REPS") else None)
-FAST = os.environ.get("BENCH_FAST") == "1"
-BASELINE_MS = 1.0  # BASELINE.md north star: <1 ms/frame at 1080p on 1 chip
 
 
 def stray_processes() -> list[str]:
@@ -110,10 +155,8 @@ def progress(msg: str) -> None:
     remote compile (20-90 s each, occasionally a hang -- CLAUDE.md) from
     real progress; timestamped because the hang diagnosis is 'no new line
     for ~10 min'."""
-    import sys
-    import time
-
-    print(f"[bench {time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+    print(f"[bench {time.strftime('%H:%M:%S')} "
+          f"+{time.monotonic() - T0:5.0f}s] {msg}", file=sys.stderr,
           flush=True)
 
 
@@ -132,177 +175,380 @@ def scene(h, w, with_normals=False):
                               with_normals=with_normals)
 
 
+# ---------------------------------------------------------------------------
+# Harness: incremental results, budget gating, relay watchdog
+# ---------------------------------------------------------------------------
+
+class Harness:
+    def __init__(self):
+        self.lock = threading.Lock()
+        self.results = {"backend": jax.default_backend(),
+                        "device": str(jax.devices()[0]),
+                        "smoke": SMOKE, "full_err": FULL_ERR,
+                        "stray_processes": stray_processes(),
+                        "skipped": [], "errors": {}, "configs": {}}
+        self.headline_ms = None
+        self.headline_emitted_final = False
+        self.section_name = None
+        self.section_t0 = T0
+        if self.results["stray_processes"]:
+            print("WARNING: possible TPU-sharing processes: "
+                  f"{self.results['stray_processes']}", file=sys.stderr)
+
+    # -- persistence --------------------------------------------------------
+    def flush(self):
+        with self.lock:
+            self.results["elapsed_s"] = round(time.monotonic() - T0, 1)
+            tmp = "BENCH_DETAIL.json.tmp"
+            with open(tmp, "w") as f:
+                json.dump(self.results, f, indent=2)
+            os.replace(tmp, "BENCH_DETAIL.json")
+
+    def emit_headline(self, note=None):
+        if self.headline_ms is None:
+            return False
+        line = {"metric": "1080p_full_hierarchical_ao_ms_per_frame",
+                "value": round(self.headline_ms, 4),
+                "unit": "ms/frame",
+                "vs_baseline": round(BASELINE_MS / self.headline_ms, 4)}
+        print(json.dumps(line), flush=True)
+        if note:
+            print(f"[bench] headline emitted ({note})", file=sys.stderr,
+                  flush=True)
+        return True
+
+    # -- sections -----------------------------------------------------------
+    def section(self, name, fn):
+        """Run one budget-gated, exception-isolated bench section."""
+        if time.monotonic() - T0 > BUDGET_S:
+            progress(f"SKIP {name}: past BENCH_BUDGET_S={BUDGET_S:.0f}")
+            self.results["skipped"].append(name)
+            self.flush()
+            return
+        progress(name)
+        self.section_name, self.section_t0 = name, time.monotonic()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 -- one flake must not end the run
+            import traceback
+
+            self.results["errors"][name] = repr(e)
+            traceback.print_exc()
+        self.section_name = None
+        self.flush()
+
+    # -- watchdog -----------------------------------------------------------
+    def watchdog(self):
+        """Hard-exit (rc=0, artifacts flushed) on deadline or relay silence.
+
+        Relay-outage signature per CLAUDE.md: the process blocks at ~0% CPU
+        with no relay traffic at all (a normal slow remote compile keeps
+        receiving bytes).  CLAUDE.md's rchar probe works from OUTSIDE the
+        process; in-process, reading /proc/self/io would bump rchar itself,
+        so the signal here is total network rx bytes instead (the relay is
+        the only meaningful traffic in this container).  A section older
+        than 8 min with ~5 min of zero rx is unrecoverable in-process --
+        flush what we have and exit cleanly so the driver captures it.
+        """
+        def rx_bytes():
+            try:
+                total = 0
+                with open("/proc/net/dev") as f:
+                    for line in f.readlines()[2:]:
+                        total += int(line.split(":")[1].split()[0])
+                return total
+            except (OSError, ValueError, IndexError):
+                return -1
+
+        hist = []
+        while True:
+            time.sleep(20)
+            now = time.monotonic()
+            hist.append(rx_bytes())
+            hist = hist[-16:]
+            frozen = (len(hist) >= 16 and len(set(hist[-16:])) == 1
+                      and hist[-1] != -1)  # ~5 min of zero relay traffic
+            stuck = (self.section_name is not None
+                     and now - self.section_t0 > 480 and frozen)
+            if now - T0 > HARD_S or stuck:
+                why = ("hard deadline" if now - T0 > HARD_S else
+                       f"relay silent in section '{self.section_name}'")
+                self.results["bailed"] = why
+                self.flush()
+                self.emit_headline(note=f"watchdog bail: {why}")
+                print(f"[bench] WATCHDOG BAIL: {why} after "
+                      f"{now - T0:.0f}s -- partial results flushed",
+                      file=sys.stderr, flush=True)
+                os._exit(0)
+
+
+# ---------------------------------------------------------------------------
+# Accuracy: full-frame golden for <=1080p, bit-equal sampled crops above
+# ---------------------------------------------------------------------------
+
+CROP_S, CROP_M = 256, 320  # interior size / halo; bit-exact (module docstring)
+
+
+def crop_origins(h, w, k=3):
+    """k deterministic 64-aligned interior crop origins with CROP_M margin."""
+    lo_r = (CROP_M + 63) // 64 * 64
+    hi_r = (h - CROP_M - CROP_S) // 64 * 64
+    lo_c = (CROP_M + 63) // 64 * 64
+    hi_c = (w - CROP_M - CROP_S) // 64 * 64
+    assert hi_r >= lo_r and hi_c >= lo_c, (h, w)
+    outs = []
+    for i in range(k):
+        f = (i + 1) / (k + 1)
+        r = (lo_r + int(f * (hi_r - lo_r))) // 64 * 64
+        c = (lo_c + int((1 - f) * (hi_c - lo_c))) // 64 * 64
+        outs.append((r, c))
+    return outs
+
+
+def golden_err_sampled(ao_dev, z, params, cam, normals=None):
+    """max-abs-err vs golden on 3 interior crops (bit-equal to full-frame
+    golden at halo 320 -- verified; fetches only ~0.8 MB through the relay
+    instead of a full >=4K frame at ~35 MB/s)."""
+    h, w = z.shape
+    _, wp = padded_shape(h, w)
+    gp, gc = to_golden(params, cam)
+    worst = 0.0
+    for r0, c0 in crop_origins(h, w):
+        zc = z[r0 - CROP_M:r0 + CROP_S + CROP_M,
+               c0 - CROP_M:c0 + CROP_S + CROP_M]
+        nc = (None if normals is None else
+              normals[r0 - CROP_M:r0 + CROP_S + CROP_M,
+                      c0 - CROP_M:c0 + CROP_S + CROP_M])
+        want = G.render_frame_golden(zc, gc, gp, normals=nc,
+                                     full_width=wp)[CROP_M:CROP_M + CROP_S,
+                                                    CROP_M:CROP_M + CROP_S]
+        got = np.asarray(ao_dev[r0:r0 + CROP_S, c0:c0 + CROP_S], np.float64)
+        worst = max(worst, float(np.abs(got - want).max()))
+    return worst
+
+
 def main():
     impl = os.environ.get("BENCH_IMPL", "auto")
     cam = CameraParams(depth_mode="linear")
-    strays = stray_processes()
-    if strays:
-        import sys
-
-        print(f"WARNING: possible TPU-sharing processes: {strays}",
-              file=sys.stderr)
-    results = {"backend": jax.default_backend(),
-               "device": str(jax.devices()[0]), "impl": impl,
-               "stray_processes": strays, "configs": {}}
+    hz = Harness()
+    results = hz.results
+    results["impl"] = impl
+    threading.Thread(target=hz.watchdog, daemon=True).start()
+    S = SHAPES
 
     def golden_err(ao, z, params, normals=None):
         gp, gc = to_golden(params, cam)
         want = G.render_frame_golden(z, gc, gp, normals=normals)
         return float(np.abs(np.asarray(ao, np.float64) - want).max())
 
-    progress("config 1: 720p single-scale")
+    def golden_err_big(ao, z, params, normals=None):
+        """>=4K accuracy cell: sampled crops by default, full-frame golden
+        under BENCH_FULL_ERR=1 (VERDICT r3 item 2: never null).  Frames too
+        small for interior crops (SMOKE shapes) fall back to full-frame --
+        cheap there by construction."""
+        if FULL_ERR or min(z.shape) < 2 * CROP_M + CROP_S + 128:
+            return golden_err(ao, z, params, normals)
+        return golden_err_sampled(ao, z, params, cam, normals)
+
+    # shared state across sections (each section owns its try/except)
+    st = {}
+
+    # ---- config 2 FIRST: full 4-level pipeline, 1080p (HEADLINE) ----------
+    def sec_config2():
+        z = scene(*S["1080p"])
+        zd = jax.device_put(jnp.asarray(z, jnp.float32))
+        p2 = AOParams()
+        f2 = jax.jit(lambda d: ao_pipeline(d, cam, p2, None, impl=impl)[0])
+        ms2, mn2, ao = time_ms(f2, zd)
+        err2 = golden_err(ao, z, p2)
+        results["configs"]["2_1080p_full"] = dict(
+            ms=ms2, ms_min=mn2,
+            mpix_s=(z.size / 1e6) / (ms2 / 1e3), max_abs_err=err2,
+            roofline=roofline(f2, ms2, *S["1080p"], zd))
+        st.update(z2=z, zd=zd, p2=p2, f2=f2, ms2=ms2)
+        hz.headline_ms = ms2
+        hz.flush()
+        hz.emit_headline(note="after config 2, early")
+
+    hz.section("config 2: 1080p full (headline)", sec_config2)
+
     # ---- config 1: single-scale 1/2-res AO, 720p, no blur -----------------
-    z = scene(720, 1280)
-    zd = jax.device_put(jnp.asarray(z, jnp.float32))
-    p1 = AOParams(hierarchy_depth=1, enable_blur=False)
-    f1 = jax.jit(lambda d: single_scale_ao(d, cam, p1, impl=impl))
-    ms, mn, ao = time_ms(f1, zd)
-    gp, gc = to_golden(p1, cam)
-    want = G.render_ao_level(G.downsample2x(
-        np.pad(z, ((0, 48), (0, 0)), mode="edge")), 1, 1280, gc, gp)[:360]
-    err = float(np.abs(np.asarray(ao, np.float64) - want).max())
-    results["configs"]["1_720p_single_scale"] = dict(
-        ms=ms, ms_min=mn, mpix_s=(1280 * 720 / 1e6) / (ms / 1e3),
-        max_abs_err=err,
-        roofline=roofline(f1, ms, 720, 1280, zd, depth_levels=1,
-                          enable_blur=False, single_scale=True))
+    def sec_config1():
+        z = scene(*S["720p"])
+        zd = jax.device_put(jnp.asarray(z, jnp.float32))
+        p1 = AOParams(hierarchy_depth=1, enable_blur=False)
+        f1 = jax.jit(lambda d: single_scale_ao(d, cam, p1, impl=impl))
+        ms, mn, ao = time_ms(f1, zd)
+        gp, gc = to_golden(p1, cam)
+        h, w = S["720p"]
+        hp, wp = padded_shape(h, w)
+        want = G.render_ao_level(G.downsample2x(
+            np.pad(z, ((0, hp - h), (0, wp - w)), mode="edge")),
+            1, wp, gc, gp)[:h // 2]
+        err = float(np.abs(np.asarray(ao, np.float64) - want).max())
+        results["configs"]["1_720p_single_scale"] = dict(
+            ms=ms, ms_min=mn, mpix_s=(h * w / 1e6) / (ms / 1e3),
+            max_abs_err=err,
+            roofline=roofline(f1, ms, h, w, zd, depth_levels=1,
+                              enable_blur=False, single_scale=True))
 
-    progress("config 2: 1080p full (headline)")
-    # ---- config 2: full 4-level pipeline, 1080p, depth-only (HEADLINE) ----
-    z = scene(1080, 1920)
-    zd = jax.device_put(jnp.asarray(z, jnp.float32))
-    p2 = AOParams()
-    f2 = jax.jit(lambda d: ao_pipeline(d, cam, p2, None, impl=impl)[0])
-    ms2, mn2, ao = time_ms(f2, zd)
-    err2 = golden_err(ao, z, p2)
-    results["configs"]["2_1080p_full"] = dict(
-        ms=ms2, ms_min=mn2, mpix_s=(1920 * 1080 / 1e6) / (ms2 / 1e3),
-        max_abs_err=err2, roofline=roofline(f2, ms2, 1080, 1920, zd))
+    hz.section("config 1: 720p single-scale", sec_config1)
 
-    progress("impl regression rows (pallas/fused)")
     # ---- standing impl regression rows (VERDICT r2 item 5): the
     # "XLA beats Pallas" default is re-measured every bench run on the
     # headline config so a JAX/libtpu upgrade flipping the ranking is
     # caught, not assumed.  Cheap: config-2 inputs, short chains.
-    impl_ms = {impl: round(ms2, 4)}
-    for variant in ("auto", "pallas", "fused"):
-        if variant in impl_ms:
-            continue
-        fv = jax.jit(lambda d, v=variant: ao_pipeline(
-            d, cam, p2, None, impl=v)[0])
-        impl_ms[variant] = round(device_time_ms(fv, zd, iters=REPS), 4)
-    fastest = min(impl_ms, key=impl_ms.get)
-    results["impl_compare_1080p_ms"] = impl_ms
-    results["fastest_impl"] = fastest
-    if fastest != "auto" and impl_ms[fastest] < 0.9 * impl_ms["auto"]:
-        import sys
+    def impl_compare(zd, p, key, base_ms):
+        impl_ms = {impl: round(base_ms, 4)}
+        for variant in ("auto", "pallas", "fused"):
+            if variant in impl_ms:
+                continue
+            fv = jax.jit(lambda d, v=variant: ao_pipeline(
+                d, cam, p, None, impl=v)[0])
+            impl_ms[variant] = round(device_time_ms(fv, zd, iters=REPS), 4)
+        fastest = min(impl_ms, key=impl_ms.get)
+        results[key] = impl_ms
+        results[key + "_fastest"] = fastest
+        if fastest != "auto" and impl_ms[fastest] < 0.9 * impl_ms["auto"]:
+            print(f"NOTE: impl={fastest} beats auto by >10% at {key} "
+                  f"({impl_ms[fastest]} vs {impl_ms['auto']} ms) -- the "
+                  "default ranking has flipped; re-evaluate impl='auto'",
+                  file=sys.stderr)
 
-        print(f"NOTE: impl={fastest} beats auto by >10% "
-              f"({impl_ms[fastest]} vs {impl_ms['auto']} ms) -- the "
-              "default ranking has flipped; re-evaluate impl='auto'",
-              file=sys.stderr)
+    hz.section("impl regression rows 1080p (pallas/fused)",
+               lambda: impl_compare(st["zd"], st["p2"],
+                                    "impl_compare_1080p_ms", st["ms2"]))
 
-    progress("config 3: 1080p normals + sweep")
     # ---- config 3: 1080p + normals + tunable sweep ------------------------
-    z, n = scene(1080, 1920, with_normals=True)
-    zd = jax.device_put(jnp.asarray(z, jnp.float32))
-    nd = jax.device_put(jnp.asarray(n, jnp.float32))
-    p3 = AOParams(use_normals=True)
-    f3 = jax.jit(lambda d, nn, pp: ao_pipeline(d, cam, pp, nn, impl=impl)[0])
-    ms3, mn3, ao = time_ms(f3, zd, nd, p3, use_normals=True)
-    err3 = golden_err(ao, z, p3, normals=n)
-    # tunable sweep contract: varied params reuse the same compiled program
-    traces = 0
+    def sec_config3():
+        z, n = scene(*S["1080p"], with_normals=True)
+        zd = jax.device_put(jnp.asarray(z, jnp.float32))
+        nd = jax.device_put(jnp.asarray(n, jnp.float32))
+        p3 = AOParams(use_normals=True)
+        f3 = jax.jit(lambda d, nn, pp: ao_pipeline(d, cam, pp, nn,
+                                                   impl=impl)[0])
+        ms3, mn3, ao = time_ms(f3, zd, nd, p3, use_normals=True)
+        err3 = golden_err(ao, z, p3, normals=n)
+        # tunable sweep contract: varied params reuse the compiled program
+        traces = 0
 
-    def counted(d, nn, pp):
-        nonlocal traces
-        traces += 1
-        return ao_pipeline(d, cam, pp, nn, impl=impl)[0]
+        def counted(d, nn, pp):
+            nonlocal traces
+            traces += 1
+            return ao_pipeline(d, cam, pp, nn, impl=impl)[0]
 
-    fc = jax.jit(counted)
-    sweep = [p3.replace(strength=s, rejection_falloff=r, blur_tolerance=b)
-             for s, r, b in ((0.5, 1.5, -7.0), (2.0, 5.0, -3.0),
-                             (4.0, 9.0, -1.5))]
-    # ... and the swept settings are *timed*, not just run (VERDICT r1
-    # item 7/8): same compiled program, so only the chain runs again.
-    sweep_ms = [device_time_ms(fc, zd, nd, pp, iters=REPS,
-                               use_normals=True)
-                for pp in sweep]
-    results["configs"]["3_1080p_normals_sweep"] = dict(
-        ms=ms3, ms_min=mn3, mpix_s=(1920 * 1080 / 1e6) / (ms3 / 1e3),
-        max_abs_err=err3,
-        roofline=roofline(f3, ms3, 1080, 1920, zd, nd, p3,
-                          use_normals=True),
-        sweep_settings=len(sweep),
-        sweep_retraces=traces - 1,
-        sweep_ms=[round(v, 4) for v in sweep_ms])
+        fc = jax.jit(counted)
+        sweep = [p3.replace(strength=s, rejection_falloff=r,
+                            blur_tolerance=b)
+                 for s, r, b in ((0.5, 1.5, -7.0), (2.0, 5.0, -3.0),
+                                 (4.0, 9.0, -1.5))]
+        # ... and the swept settings are *timed*, not just run (VERDICT r1
+        # item 7/8): same compiled program, so only the chain runs again.
+        sweep_ms = [device_time_ms(fc, zd, nd, pp, iters=REPS,
+                                   use_normals=True)
+                    for pp in sweep]
+        results["configs"]["3_1080p_normals_sweep"] = dict(
+            ms=ms3, ms_min=mn3,
+            mpix_s=(z.size / 1e6) / (ms3 / 1e3), max_abs_err=err3,
+            roofline=roofline(f3, ms3, *S["1080p"], zd, nd, p3,
+                              use_normals=True),
+            sweep_settings=len(sweep), sweep_retraces=traces - 1,
+            sweep_ms=[round(v, 4) for v in sweep_ms])
+        st.update(zd3=zd, nd3=nd, p3=p3, f3=f3)
 
-    progress("config 3b: 4K normals")
+    hz.section("config 3: 1080p normals + sweep", sec_config3)
+
     # ---- config 3b: 4K + normals (VERDICT r2 item 9: record the normals
     # path's scaling before anyone deploys it at 4K) ------------------------
-    z4n, n4 = scene(2160, 3840, with_normals=True)
-    zd4n = jax.device_put(jnp.asarray(z4n, jnp.float32))
-    nd4 = jax.device_put(jnp.asarray(n4, jnp.float32))
-    ms3b, mn3b, ao3b = time_ms(f3, zd4n, nd4, p3, use_normals=True)
-    err3b = None if FAST else golden_err(ao3b, z4n, p3, normals=n4)
-    results["configs"]["3b_4k_normals"] = dict(
-        ms=ms3b, ms_min=mn3b, mpix_s=(3840 * 2160 / 1e6) / (ms3b / 1e3),
-        max_abs_err=err3b,
-        roofline=roofline(f3, ms3b, 2160, 3840, zd4n, nd4, p3,
-                          use_normals=True))
-    del zd4n, nd4, ao3b
+    def sec_config3b():
+        z4n, n4 = scene(*S["4k"], with_normals=True)
+        zd4n = jax.device_put(jnp.asarray(z4n, jnp.float32))
+        nd4 = jax.device_put(jnp.asarray(n4, jnp.float32))
+        p3, f3 = st["p3"], st["f3"]
+        ms, mn, ao = time_ms(f3, zd4n, nd4, p3, use_normals=True)
+        err = golden_err_big(ao, z4n, p3, normals=n4)
+        results["configs"]["3b_4k_normals"] = dict(
+            ms=ms, ms_min=mn,
+            mpix_s=(z4n.size / 1e6) / (ms / 1e3), max_abs_err=err,
+            err_mode="full" if FULL_ERR else "sampled_crops",
+            roofline=roofline(f3, ms, *S["4k"], zd4n, nd4, p3,
+                              use_normals=True))
 
-    progress("config 4: 4K full")
+    hz.section("config 3b: 4K normals", sec_config3b)
+
     # ---- config 4: 4K single camera ---------------------------------------
-    z4 = scene(2160, 3840)
-    zd4 = jax.device_put(jnp.asarray(z4, jnp.float32))
-    ms4, mn4, ao4 = time_ms(f2, zd4)
-    err4 = None if FAST else golden_err(ao4, z4, p2)
-    results["configs"]["4_4k_full"] = dict(
-        ms=ms4, ms_min=mn4, mpix_s=(3840 * 2160 / 1e6) / (ms4 / 1e3),
-        max_abs_err=err4, roofline=roofline(f2, ms4, 2160, 3840, zd4))
+    def sec_config4():
+        z4 = scene(*S["4k"])
+        zd4 = jax.device_put(jnp.asarray(z4, jnp.float32))
+        f2, p2 = st["f2"], st["p2"]
+        ms, mn, ao = time_ms(f2, zd4)
+        err = golden_err_big(ao, z4, p2)
+        results["configs"]["4_4k_full"] = dict(
+            ms=ms, ms_min=mn,
+            mpix_s=(z4.size / 1e6) / (ms / 1e3), max_abs_err=err,
+            err_mode="full" if FULL_ERR else "sampled_crops",
+            roofline=roofline(f2, ms, *S["4k"], zd4))
 
-    progress("config 4b: 8K full")
+    hz.section("config 4: 4K full", sec_config4)
+
     # ---- config 4b: 8K single camera, single chip --------------------------
     # (VERDICT r1 item 2: used to OOM from the interleave's 64x layout
     # inflation; the layout-bounded interleave keeps temps ~2 frames.)
-    z8 = scene(4320, 7680)
-    zd8 = jax.device_put(jnp.asarray(z8, jnp.float32))
-    ms8, mn8, ao8 = time_ms(f2, zd8)
-    err8 = None if FAST else golden_err(ao8, z8, p2)
-    results["configs"]["4b_8k_full"] = dict(
-        ms=ms8, ms_min=mn8, mpix_s=(7680 * 4320 / 1e6) / (ms8 / 1e3),
-        max_abs_err=err8, roofline=roofline(f2, ms8, 4320, 7680, zd8))
-    del zd8, ao8
+    def sec_config4b():
+        z8 = scene(*S["8k"])
+        zd8 = jax.device_put(jnp.asarray(z8, jnp.float32))
+        f2, p2 = st["f2"], st["p2"]
+        ms, mn, ao = time_ms(f2, zd8)
+        err = golden_err_big(ao, z8, p2)
+        results["configs"]["4b_8k_full"] = dict(
+            ms=ms, ms_min=mn,
+            mpix_s=(z8.size / 1e6) / (ms / 1e3), max_abs_err=err,
+            err_mode="full" if FULL_ERR else "sampled_crops",
+            roofline=roofline(f2, ms, *S["8k"], zd8))
+        st.update(zd8=zd8, ms8=ms)
 
-    progress("config 5: 8-view sharded batch")
+    hz.section("config 4b: 8K full", sec_config4b)
+
+    # ---- standing 8K impl rows (VERDICT r3 item 4): the default's WEAKEST
+    # geometry -- docs/PERF.md shows the standalone Pallas render already
+    # winning at 8K level 1, so guard the ranking where it is most fragile.
+    def sec_impl8k():
+        impl_compare(st["zd8"], st["p2"], "impl_compare_8k_ms", st["ms8"])
+        del st["zd8"]
+
+    hz.section("impl regression rows 8K", sec_impl8k)
+
     # ---- config 5: 8-view 1080p batch, view-sharded mesh ------------------
-    from jax.sharding import NamedSharding, PartitionSpec as P
-    from tpuao.parallel.sharding import VIEW_AXIS, sharded_views_fn
+    def sec_config5():
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from tpuao.parallel.sharding import VIEW_AXIS, sharded_views_fn
 
-    n_dev = len(jax.devices())
-    views = 8
-    zs = np.stack([scene(1080, 1920)] * views).astype(np.float32)
-    # largest mesh that divides the view count (silent 1-chip fallback on
-    # e.g. a 16-device host would mislabel single-chip perf as sharded)
-    n_mesh = max(d for d in range(1, min(n_dev, views) + 1)
-                 if views % d == 0)
-    mesh = make_mesh(n_mesh)
-    spec = NamedSharding(mesh, P(VIEW_AXIS, None, None))
-    zsd = jax.device_put(zs, spec)
-    sm = sharded_views_fn(cam, p2, mesh, impl=impl)
-    f5 = jax.jit(lambda d: sm(d, None))
-    ms5, mn5, ao5 = time_ms(f5, zsd)
-    # accuracy record like every other row: the views are copies of one
-    # scene, so golden-checking view 0 covers the sharded program (fetch
-    # one 1080p view, not the whole batch -- the relay moves ~35 MB/s)
-    err5 = golden_err(np.asarray(ao5[0]), zs[0], p2)
-    results["configs"]["5_8view_1080p_sharded"] = dict(
-        ms=ms5, ms_min=mn5, ms_per_view=ms5 / views,
-        mpix_s=(views * 1920 * 1080 / 1e6) / (ms5 / 1e3),
-        max_abs_err=err5, mesh_devices=int(mesh.devices.size))
+        n_dev = len(jax.devices())
+        views = 8
+        z2, p2 = st["z2"], st["p2"]
+        zs = np.stack([z2] * views).astype(np.float32)
+        # largest mesh that divides the view count (silent 1-chip fallback
+        # on e.g. a 16-device host would mislabel single-chip perf)
+        n_mesh = max(d for d in range(1, min(n_dev, views) + 1)
+                     if views % d == 0)
+        mesh = make_mesh(n_mesh)
+        spec = NamedSharding(mesh, P(VIEW_AXIS, None, None))
+        zsd = jax.device_put(zs, spec)
+        sm = sharded_views_fn(cam, p2, mesh, impl=impl)
+        f5 = jax.jit(lambda d: sm(d, None))
+        ms5, mn5, ao5 = time_ms(f5, zsd)
+        # accuracy record like every other row: the views are copies of one
+        # scene, so golden-checking view 0 covers the sharded program (fetch
+        # one view, not the whole batch -- the relay moves ~35 MB/s)
+        err5 = golden_err(np.asarray(ao5[0]), zs[0], p2)
+        results["configs"]["5_8view_1080p_sharded"] = dict(
+            ms=ms5, ms_min=mn5, ms_per_view=ms5 / views,
+            mpix_s=(views * z2.size / 1e6) / (ms5 / 1e3),
+            max_abs_err=err5, mesh_devices=int(mesh.devices.size))
+        st.update(f5=f5, zsd=zsd, views=views)
 
-    progress("streaming host-launch rates")
+    hz.section("config 5: 8-view sharded batch", sec_config5)
+
     # ---- streaming rates (host-driven launches): what a serving
     # deployment actually pays per frame.  Every row above chains
     # iterations ON-DEVICE, measuring pure compute; a real request
@@ -311,42 +557,47 @@ def main():
     # experiment's launch tax).  Two host-chained rates -- one frame per
     # launch vs config 5's 8-view program per launch -- pin down that
     # tax and the measured value of micro-batching on this relay.
-    from tpuao.utils.profiling import host_chain_time_ms
+    def sec_streaming():
+        from tpuao.utils.profiling import host_chain_time_ms
 
-    ms_one = host_chain_time_ms(f2, zd, repeats=3)
-    ms_b8 = host_chain_time_ms(f5, zsd, repeats=3)
-    results["streaming_1080p_host_launch"] = {
-        "ms_per_frame_single": round(ms_one, 4),
-        "ms_per_frame_batch8": round(ms_b8 / views, 4),
-        "launch_overhead_ms": round(ms_one - ms2, 4),
-        "batch8_speedup": round(ms_one / (ms_b8 / views), 2),
-    }
+        ms_one = host_chain_time_ms(st["f2"], st["zd"], repeats=3)
+        ms_b8 = host_chain_time_ms(st["f5"], st["zsd"], repeats=3)
+        views = st["views"]
+        results["streaming_1080p_host_launch"] = {
+            "ms_per_frame_single": round(ms_one, 4),
+            "ms_per_frame_batch8": round(ms_b8 / views, 4),
+            "launch_overhead_ms": round(ms_one - st["ms2"], 4),
+            "batch8_speedup": round(ms_one / (ms_b8 / views), 2),
+        }
 
-    progress("quality ladder")
+    hz.section("streaming host-launch rates", sec_streaming)
+
     # ---- quality ladder: presets at 1080p (reference QualityLevel analog).
     # Timing only -- preset math is golden-tested in pytest; zd/nd are the
     # config-3 1080p scene.
-    from tpuao.models.presets import PRESETS
+    def sec_ladder():
+        from tpuao.models.presets import PRESETS
 
-    ladder = {}
-    for name, pp in PRESETS.items():
-        fq = jax.jit(lambda d, nn, pp=pp: ao_pipeline(
-            d, cam, pp, nn if pp.use_normals else None, impl=impl)[0])
-        ladder[name] = round(device_time_ms(fq, zd, nd, iters=REPS,
-                                            use_normals=pp.use_normals), 4)
-    results["quality_ladder_1080p_ms"] = ladder
+        ladder = {}
+        for name, pp in PRESETS.items():
+            fq = jax.jit(lambda d, nn, pp=pp: ao_pipeline(
+                d, cam, pp, nn if pp.use_normals else None, impl=impl)[0])
+            ladder[name] = round(device_time_ms(
+                fq, st["zd3"], st["nd3"], iters=REPS,
+                use_normals=pp.use_normals), 4)
+        results["quality_ladder_1080p_ms"] = ladder
 
-    progress("writing BENCH_DETAIL.json")
-    with open("BENCH_DETAIL.json", "w") as f:
-        json.dump(results, f, indent=2)
+    hz.section("quality ladder", sec_ladder)
 
-    headline = {
-        "metric": "1080p_full_hierarchical_ao_ms_per_frame",
-        "value": round(ms2, 4),
-        "unit": "ms/frame",
-        "vs_baseline": round(BASELINE_MS / ms2, 4),
-    }
-    print(json.dumps(headline))
+    hz.flush()
+    progress(f"done in {time.monotonic() - T0:.0f}s; "
+             f"skipped={results['skipped']} errors={list(results['errors'])}")
+    # final headline line (the driver parses the last JSON line on stdout;
+    # the early emission after config 2 is the crash-safety copy)
+    if not hz.emit_headline(note="final"):
+        print("[bench] FATAL: headline config never completed",
+              file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -185,3 +185,51 @@ def test_cli_normals_color(tmp_path):
                  "--normals", npath, "--color", cpath]) == 0
     out = load_pfm(dst)
     assert out.shape == color.shape
+
+
+def test_cli_render_projection_matrix(tmp_path):
+    """--projection: camera built from a 16-float matrix file; rendering
+    hardware depth through it matches render_frame with the analytically
+    extracted camera (VERDICT r3 item 6)."""
+    import math
+
+    n, f = 0.3, 100.0
+    x = 1.0 / math.tan(math.radians(70.0) / 2)
+    P = np.zeros((4, 4))
+    P[0, 0] = x
+    P[1, 1] = x * 16 / 9
+    P[2, 2] = n / (f - n)
+    P[2, 3] = n * f / (f - n)
+    P[3, 2] = -1.0  # Unity reversed-Z
+    mtx = str(tmp_path / "proj.txt")
+    with open(mtx, "w") as fh:
+        fh.write("# unity reversed-Z\n")
+        fh.write("\n".join(" ".join(str(v) for v in row) for row in P))
+
+    z_lin = np.clip(_depth(), 1e-3, 1.0)
+    z_eye = z_lin * f
+    d_hw = (P[2, 2] * (-z_eye) + P[2, 3]) / (P[3, 2] * (-z_eye))
+    src = str(tmp_path / "depth.pfm")
+    dst = str(tmp_path / "ao.pfm")
+    save_pfm(src, d_hw.astype(np.float32))
+    assert main(["render", src, dst, "--projection", mtx]) == 0
+    ao = load_pfm(dst)
+
+    cam = CameraParams.from_projection(P)
+    assert cam.depth_mode == "hardware" and cam.reversed_z
+    ref = np.asarray(render_frame(d_hw.astype(np.float32), cam, AOParams()))
+    np.testing.assert_allclose(ao, ref, atol=1e-6)
+
+
+def test_cli_render_projection_inline_and_errors(tmp_path, capsys):
+    z = _depth()
+    src = str(tmp_path / "d.pfm")
+    dst = str(tmp_path / "a.pfm")
+    save_pfm(src, z)
+    # ValueErrors exit 2 with the message on stderr (CLI usage contract)
+    assert main(["render", src, dst, "--projection", "1,2,3"]) == 2
+    assert "16 floats" in capsys.readouterr().err
+    # inline 16 floats, orthographic -> clear rejection
+    assert main(["render", src, dst, "--projection",
+                 ",".join(str(v) for v in np.eye(4).ravel())]) == 2
+    assert "perspective" in capsys.readouterr().err

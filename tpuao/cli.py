@@ -65,6 +65,17 @@ def _build_parser() -> argparse.ArgumentParser:
                    ".pfm, linear for .png)")
     r.add_argument("--near", type=float, help="camera near plane")
     r.add_argument("--far", type=float, help="camera far plane")
+    r.add_argument("--projection", metavar="FILE_OR_16_FLOATS",
+                   help="build the camera from a 4x4 projection matrix: a "
+                   "path to a whitespace/comma-separated 16-float file, or "
+                   "the 16 floats inline (comma-separated, row-major). "
+                   "Derives near/far/fov/Z-convention and sets "
+                   "depth_mode=hardware; --near/--far/--fov then override")
+    r.add_argument("--projection-convention", choices=("unity", "gl"),
+                   default="unity",
+                   help="clip-space convention of --projection: 'unity' = "
+                   "D3D [0,1] depth (GetGPUProjectionMatrix), 'gl' = "
+                   "[-1,1] NDC (default: unity)")
     r.add_argument("--fov", type=float,
                    help="horizontal field of view, degrees")
     r.add_argument("--impl", default="auto",
@@ -187,6 +198,26 @@ def _cmd_info(_a) -> int:
     return 0
 
 
+def _read_matrix16(spec: str):
+    """--projection value -> 16 floats: a file path (whitespace/comma
+    separated, '#' comments allowed) or the 16 values inline."""
+    import os
+    import re
+
+    import numpy as np
+
+    if os.path.exists(spec):
+        with open(spec) as f:
+            text = " ".join(line.split("#")[0] for line in f)
+    else:
+        text = spec
+    vals = [float(v) for v in re.split(r"[\s,]+", text.strip()) if v]
+    if len(vals) != 16:
+        raise ValueError(
+            f"--projection needs 16 floats, got {len(vals)} from {spec!r}")
+    return np.array(vals).reshape(4, 4)
+
+
 def _build_component(a, was_png: bool):
     """CLI flags -> validated (camera, params)."""
     from tpuao.models.pipeline import AmbientOcclusionEngine
@@ -199,6 +230,10 @@ def _build_component(a, was_png: bool):
     else:
         params = preset(a.preset) if a.preset else AOParams()
         camera = CameraParams()
+    if getattr(a, "projection", None):
+        camera = CameraParams.from_projection(
+            _read_matrix16(a.projection),
+            convention=a.projection_convention)
     tunables = {k: getattr(a, k) for k in PARAM_RANGES
                 if getattr(a, k) is not None}
     if tunables:
@@ -212,7 +247,11 @@ def _build_component(a, was_png: bool):
         import math
 
         cam_kw["tan_half_fov_h"] = math.tan(math.radians(a.fov) / 2)
-    depth_mode = a.depth_mode or ("linear" if was_png else None)
+    # --projection implies hardware depth; the PNG->linear convenience
+    # default must not silently override it
+    depth_mode = a.depth_mode or (
+        None if getattr(a, "projection", None)
+        else ("linear" if was_png else None))
     if depth_mode:
         cam_kw["depth_mode"] = depth_mode
     if cam_kw:

@@ -374,11 +374,21 @@ def render_frame_golden(
     params: GoldenAOParams,
     normals: np.ndarray | None = None,
     return_debug: bool = False,
+    full_width: int | None = None,
 ):
     """Full golden pipeline: depth [+ normals] -> full-res AO in [0,1].
 
     Input of any (H, W) is edge-padded to a multiple of 64 and the output is
     cropped back (SURVEY.md SS8 hard-part 4 padding rule).
+
+    ``full_width`` overrides the buffer width used for the camera-derived
+    constants (sphere radius, texel scale, upsample step tolerances), which
+    the reference derives from the FRAME width, not the evaluated window
+    (SURVEY.md SS3.2 ThicknessMultiplier ~ 1/BufferWidth).  Pass the original
+    frame width when evaluating the golden on a 64-aligned interior crop of a
+    larger frame: with a sufficient halo margin the crop's interior is then
+    equal to the full-frame result (the affordable >=4K accuracy check --
+    measured, margin 448 px matches to float64 noise; see bench.py).
 
     Chain (hierarchy_depth=4, SURVEY.md SS3.3):
       AO@1/16                                  -> up -> Combined@1/8
@@ -398,13 +408,14 @@ def render_frame_golden(
         )
 
     d = params.hierarchy_depth
+    fw = wp if full_width is None else int(full_width)
     linz = linearize_depth(depth, camera)
     pyr = build_pyramid(linz, d)
     npyr = build_pyramid(normals, d) if (
         normals is not None and params.use_normals) else [None] * (d + 1)
 
     aos = {
-        l: render_ao_level(pyr[l], l, wp, camera, params, npyr[l])
+        l: render_ao_level(pyr[l], l, fw, camera, params, npyr[l])
         for l in range(1, d + 1)
     }
     debug = {"linear_z": linz, "pyramid": pyr, "ao_levels": dict(aos)}
@@ -423,6 +434,9 @@ def render_frame_golden(
     combined = aos[d]
     for l in range(d, 0, -1):
         hi_d = pyr[l - 1]
+        # upsample constants depend only on step_size = full_W / lo_W = 2^l,
+        # which is the same for a 64-aligned crop as for its frame -- so the
+        # crop's own padded width is always correct here (fw is NOT needed)
         combined = blur_upsample_step(
             combined, pyr[l], hi_d, params, wp,
             lo_ao2=aos[l] if l != d else None,

@@ -196,6 +196,136 @@ if struct is not None:
         reversed_z: bool = struct.field(pytree_node=False, default=True)
         depth_mode: str = struct.field(pytree_node=False, default="hardware")
 
+        @classmethod
+        def from_projection(cls, proj, convention: str = "unity"
+                            ) -> "CameraParams":
+            """Build camera params from a 4x4 projection matrix -- the
+            integration surface a real engine hands over (SURVEY.md SS3.1:
+            "derive from the camera projection matrix in the build and
+            validate monotonicity + range"; VERDICT r3 missing-item 3).
+
+            ``convention``:
+              * ``"unity"`` -- D3D-style clip space, buffer depth =
+                clip.z/clip.w in [0,1] (what Unity's
+                ``GL.GetGPUProjectionMatrix`` yields on D3D/Metal/Vulkan).
+                Both reversed-Z (near -> 1, the modern default) and
+                forward-Z matrices are accepted; the direction is detected
+                from the matrix itself.
+              * ``"gl"`` -- OpenGL clip space, NDC z in [-1,1], buffer
+                depth = 0.5*ndc + 0.5 (the glDepthRange(0,1) viewport
+                transform), forward-Z.
+
+            The matrix is for column vectors (``clip = P @ view``).  Both
+            view-space handednesses are accepted and auto-detected from
+            the sign of the perspective-divide entry: ``P[3,2] < 0`` means
+            the camera looks down -Z (Unity/GL view space), ``P[3,2] > 0``
+            looks down +Z (D3D left-handed, the utils/camera.py
+            convention -- the two APIs agree on shared matrices).  A
+            row-vector (transposed) matrix is accepted too.  Orientation is
+            disambiguated by the perspective-divide entry: engine-produced
+            matrices have ``|P[3,2]| == 1`` (clip.w = z_eye) -- the zero
+            pattern alone cannot distinguish the orientations, and the
+            wrong one can define a DIFFERENT valid-looking camera (both
+            readings live in the same rational family), so this must be
+            structural, not try-and-see.  If neither or both orientations
+            have the unit entry, as-given is tried first and the transpose
+            only on failure.
+
+            Derivation: buffer depth is the rational map
+            ``d(ze) = (a*(-ze) + b) / (c*(-ze) + e)`` (rows 2 and 3 of P),
+            so the near/far planes are its exact preimages of the depth
+            extremes; ``tan_half_fov_h = 1 / P[0,0]``.  The result is then
+            cross-validated against the golden linearizer
+            ``1/(zmagic*d + 1)`` on sampled eye depths (monotonicity +
+            range per SURVEY.md SS3.1) -- a matrix whose depth map the
+            pipeline cannot represent (e.g. infinite-far reversed-Z,
+            oblique near clip) fails loudly here instead of rendering
+            wrong AO.
+            """
+            P = np.asarray(proj, dtype=np.float64)
+            if P.size != 16:
+                raise ValueError(
+                    f"projection must be 4x4 (16 values), got {P.shape}")
+            P = P.reshape(4, 4)
+            if convention not in ("unity", "gl"):
+                raise ValueError(
+                    f"convention={convention!r} must be 'unity' or 'gl'")
+            cand = [P, P.T]
+            unit = [abs(abs(M[3, 2]) - 1.0) < 1e-9 for M in cand]
+            if unit[0] != unit[1]:
+                cand = [cand[0] if unit[0] else cand[1]]
+            try:
+                return cls._from_projection_oriented(cand[0], convention)
+            except ValueError as first:
+                if len(cand) == 1:
+                    raise
+                try:
+                    return cls._from_projection_oriented(cand[1], convention)
+                except ValueError:
+                    raise first from None
+
+        @classmethod
+        def _from_projection_oriented(cls, P, convention: str
+                                      ) -> "CameraParams":
+            if abs(P[3, 2]) < 1e-12:
+                raise ValueError(
+                    "not a perspective projection: P[3,2] == 0 (no 1/z "
+                    "divide); orthographic cameras have no AO depth scale")
+            if P[0, 0] <= 0:
+                raise ValueError(
+                    f"P[0,0]={P[0, 0]} must be > 0 (cot of half the "
+                    "horizontal fov)")
+            tanh = 1.0 / P[0, 0]
+            a, b = P[2, 2], P[2, 3]
+            c, e = P[3, 2], P[3, 3]
+            # view-space z of a point at eye distance ze: -ze for right-
+            # handed (w row negative), +ze for left-handed (w row positive)
+            zsign = -1.0 if c < 0 else 1.0
+
+            def ndc(d):  # buffer depth -> clip-space z/w
+                return 2.0 * d - 1.0 if convention == "gl" else d
+
+            def ze_of(d):  # exact preimage of buffer depth d
+                nd = ndc(d)
+                den = zsign * (a - nd * c)
+                if abs(den) < 1e-300:
+                    return math.inf
+                return (nd * e - b) / den
+
+            z_at_0, z_at_1 = ze_of(0.0), ze_of(1.0)
+            if not (math.isfinite(z_at_0) and math.isfinite(z_at_1)):
+                raise ValueError(
+                    "projection has an infinite clip plane (e.g. infinite-"
+                    "far reversed-Z); the AO linearizer needs finite "
+                    "near/far -- rebuild the matrix with a finite far")
+            # plain python scalars: reversed_z is a STATIC pytree field
+            # (a np.bool_ would poison the jit cache key), and floats keep
+            # configs JSON-serializable
+            reversed_z = bool(z_at_1 < z_at_0)
+            near, far = sorted((float(z_at_0), float(z_at_1)))
+            cam = cls(near=near, far=far, tan_half_fov_h=float(tanh),
+                      reversed_z=reversed_z,
+                      depth_mode="hardware").validate()
+            # cross-validate: the matrix's own depth map, pushed through the
+            # golden linearizer, must reproduce z_eye/far monotonically
+            zmagic = (far - near) / near
+            zs = np.linspace(near, far, 33)
+            d = (a * (zsign * zs) + b) / (c * (zsign * zs) + e)
+            d_buf = 0.5 * d + 0.5 if convention == "gl" else d
+            d_lin = d_buf if reversed_z else 1.0 - d_buf
+            recon = 1.0 / (zmagic * d_lin + 1.0)  # golden linearize_depth
+            err = np.abs(recon - zs / far).max()
+            if err > 1e-9 * (1.0 + far / near):
+                raise ValueError(
+                    "projection depth map is not the standard perspective "
+                    f"form the AO linearizer assumes (max dev {err:.3e}); "
+                    "oblique/sheared depth rows are not supported")
+            mono = np.diff(d_buf)
+            if not (np.all(mono < 0) if reversed_z else np.all(mono > 0)):
+                raise ValueError("projection depth map is not monotonic "
+                                 "over [near, far]")
+            return cam
+
         def validate(self) -> "CameraParams":
             """Range-check concrete projection values (mirrors
             ``AOParams.validate``): ``zmagic = (far - near) / near`` and
