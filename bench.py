@@ -399,19 +399,39 @@ def main():
     # headline config so a JAX/libtpu upgrade flipping the ranking is
     # caught, not assumed.  Cheap: config-2 inputs, short chains.
     def impl_compare(zd, p, key, base_ms):
+        from tpuao.utils.xla_opts import BIG_FRAME_PIXELS, \
+            tpu_compiler_options
+
         impl_ms = {impl: round(base_ms, 4)}
+        px = int(zd.shape[-2]) * int(zd.shape[-1])
         for variant in ("auto", "pallas", "fused"):
             if variant in impl_ms:
                 continue
             fv = jax.jit(lambda d, v=variant: ao_pipeline(
                 d, cam, p, None, impl=v)[0])
-            impl_ms[variant] = round(device_time_ms(fv, zd, iters=REPS), 4)
-        fastest = min(impl_ms, key=impl_ms.get)
+            # the 8K size class's 20 MiB scoped-VMEM optimum is an
+            # XLA-path tuning; the Pallas row-tile render's stack needs
+            # ~37 MB at 8K (observed scoped-vmem OOM), so Pallas variants
+            # on big frames run under the 48 MiB small-frame default
+            opts = (tpu_compiler_options(None)
+                    if variant != "auto" and px > BIG_FRAME_PIXELS
+                    else None)
+            try:
+                impl_ms[variant] = round(device_time_ms(
+                    fv, zd, iters=REPS, compiler_options=opts), 4)
+            except Exception as e:  # noqa: BLE001 -- one variant OOMing
+                # must not erase the others' rows
+                impl_ms[variant] = f"error: {type(e).__name__}: " \
+                                   f"{str(e)[:160]}"
         results[key] = impl_ms
+        numeric = {k: v for k, v in impl_ms.items()
+                   if isinstance(v, (int, float))}
+        fastest = min(numeric, key=numeric.get)
         results[key + "_fastest"] = fastest
-        if fastest != "auto" and impl_ms[fastest] < 0.9 * impl_ms["auto"]:
+        if (fastest != "auto" and "auto" in numeric
+                and numeric[fastest] < 0.9 * numeric["auto"]):
             print(f"NOTE: impl={fastest} beats auto by >10% at {key} "
-                  f"({impl_ms[fastest]} vs {impl_ms['auto']} ms) -- the "
+                  f"({numeric[fastest]} vs {numeric['auto']} ms) -- the "
                   "default ranking has flipped; re-evaluate impl='auto'",
                   file=sys.stderr)
 

@@ -174,3 +174,69 @@ def test_bad_inputs():
     with MicroBatcher(_render, batch_size=2) as mb:
         with pytest.raises(ValueError, match="frame"):
             mb.submit(np.ones((2, 64, 128), np.float32))
+
+
+def test_ladder_low_occupancy_uses_small_rung():
+    """A lone request must flush at rung 1 (1 frame rendered), not padded
+    to batch_size (VERDICT r3 weak-item 6: batch-8 at low concurrency
+    used to render 7 junk frames per request)."""
+    sizes = []
+
+    def render(batch):
+        sizes.append(batch.shape[0])
+        return render_frame(batch, CAM, PAR, impl="jnp")
+
+    z = F.spheres_on_plane(64, 128, n_spheres=2, seed=5).astype(np.float32)
+    with MicroBatcher(render, batch_size=8, max_delay_ms=20.0) as mb:
+        assert mb.ladder == (1, 4, 8)
+        out = mb.submit(z).result(timeout=120)
+        st = mb.stats()
+    assert sizes == [1]
+    assert st["rung_flushes"] == {1: 1, 4: 0, 8: 0}
+    assert st["padded"] == 0
+    np.testing.assert_allclose(
+        out, np.asarray(render_frame(z, CAM, PAR, impl="jnp")), atol=1e-6)
+
+
+def test_ladder_mid_occupancy_pads_to_next_rung():
+    sizes = []
+
+    def render(batch):
+        sizes.append(batch.shape[0])
+        return render_frame(batch, CAM, PAR, impl="jnp")
+
+    zs = [F.spheres_on_plane(64, 128, n_spheres=2, seed=s
+                             ).astype(np.float32) for s in range(3)]
+    with MicroBatcher(render, batch_size=8, max_delay_ms=200.0) as mb:
+        futs = [mb.submit(z) for z in zs]
+        outs = [f.result(timeout=120) for f in futs]
+        st = mb.stats()
+    # 3 requests -> one rung-4 flush, 1 pad frame
+    assert sizes == [4]
+    assert st["rung_flushes"][4] == 1 and st["padded"] == 1
+    for z, ao in zip(zs, outs):
+        np.testing.assert_allclose(
+            ao, np.asarray(render_frame(z, CAM, PAR, impl="jnp")),
+            atol=1e-6)
+
+
+def test_warm_compiles_every_rung():
+    sizes = []
+
+    def render(batch, normals=None, color=None):
+        sizes.append(batch.shape[0])
+        return render_frame(batch, CAM, PAR, impl="jnp")
+
+    z = np.full((64, 128), 0.5, np.float32)
+    with MicroBatcher(render, batch_size=8) as mb:
+        assert mb.warm(z) == [1, 4, 8]
+    assert sizes == [1, 4, 8]
+
+
+def test_ladder_validation():
+    with pytest.raises(ValueError, match="ladder"):
+        MicroBatcher(_render, batch_size=4, ladder=(1, 8))
+    with MicroBatcher(_render, batch_size=4, ladder=(2, 2, 1)) as mb:
+        assert mb.ladder == (1, 2, 4)  # dedup, sorted, batch_size joined
+    with MicroBatcher(_render, batch_size=2) as mb:
+        assert mb.ladder == (1, 2)  # default drops rungs >= batch_size

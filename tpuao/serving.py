@@ -277,11 +277,11 @@ def warm_server(srv, shape, buffers=()) -> list[str]:
         name = "depth" + ("+" + "+".join(combo) if combo else "")
         warmed.append(name)
         if srv.batcher is not None:
-            futs = [srv.batcher.submit(zz, **kw)
-                    for _ in range(srv.batcher.batch_size)]
-            for f in futs:
-                f.result()
-            warmed.append(f"{name}[batch {srv.batcher.batch_size}]")
+            # every ladder rung is a distinct compile (batching.py); warm
+            # deterministically via the batcher's own padded-batch path --
+            # queue submissions cannot control which rung a flush lands on
+            rungs = srv.batcher.warm(zz, **kw)
+            warmed.extend(f"{name}[batch {r}]" for r in rungs)
     srv.warmed = True
     return warmed
 
