@@ -49,10 +49,30 @@ def main(argv):
           f"backend={jax.default_backend()}")
     times = stage_times_ms(zd, cam, params, normals=nd, impl=impl)
     total = times.pop("full_pipeline")
+
+    # per-stage attainable floors (VERDICT r3 item 3): algebraic traffic
+    # at the MEASURED achievable bandwidth -- the honest per-stage
+    # speed-of-light.  Stages are measured STANDALONE here; their sum
+    # exceeding the pipeline time means cross-stage fusion wins (and the
+    # reverse would mean the pipeline adds relayouts the stages lack).
+    from tpuao.params import padded_shape
+    from tpuao.utils import roofline as RL
+
+    hp, wp = padded_shape(h, w)
+    floors = RL.stage_traffic_bytes(hp, wp, params.hierarchy_depth,
+                                    use_normals=use_normals,
+                                    enable_blur=params.enable_blur)
+    bw = RL.HBM_GBPS_ACHIEVED * 1e6
+    print(f"{'stage':16s} {'ms':>8s} {'floor':>8s} {'pct':>5s}")
     for k, v in times.items():
-        print(f"{k:16s} {v:8.4f} ms")
-    print(f"{'-' * 28}")
-    print(f"{'full_pipeline':16s} {total:8.4f} ms   "
+        fl = floors.get(k, 0) / bw
+        pct = f"{100 * fl / v:4.0f}%" if v > 1e-4 and fl else "   --"
+        print(f"{k:16s} {v:8.4f} {fl:8.4f} {pct}")
+    print(f"{'-' * 40}")
+    fl_tot = sum(floors.values()) / bw
+    print(f"{'stage sum':16s} {sum(times.values()):8.4f} {fl_tot:8.4f}")
+    print(f"{'full_pipeline':16s} {total:8.4f} {fl_tot:8.4f} "
+          f"{100 * fl_tot / total:4.0f}%   "
           f"({h * w / 1e6 / (total / 1e3):,.0f} Mpix/s)")
 
 
