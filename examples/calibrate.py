@@ -28,7 +28,9 @@ from tpuao.utils import fixtures as F
 
 
 def main(argv):
-    size = argv[1] if len(argv) > 1 else "180x320"
+    size = next((a for a in argv[1:] if "x" in a), "180x320")
+    steps = (int(argv[argv.index("--steps") + 1])
+             if "--steps" in argv else 80)
     h, w = (int(v) for v in size.split("x"))
     cam = CameraParams(depth_mode="linear")
     z = F.spheres_on_plane(h, w, cam, n_spheres=5, seed=11)
@@ -38,7 +40,7 @@ def main(argv):
 
     fitted, losses = fit_tunables(
         z, target, cam, fit=("strength", "rejection_falloff"),
-        steps=80, lr=0.08)
+        steps=steps, lr=0.08)
     losses = np.asarray(losses)
     print(f"loss: {losses[0]:.2e} -> {losses[-1]:.2e} over {len(losses)} steps")
     print(f"strength:           {float(fitted.strength):.3f}  (true 1.8)")

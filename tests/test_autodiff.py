@@ -36,6 +36,7 @@ def test_pow_gradsafe_forward_and_zero_input():
     assert np.all(np.isfinite(gx)) and np.isfinite(gs)
 
 
+@pytest.mark.slow
 def test_grads_wrt_tunables_finite_and_nonzero():
     z = _scene()
     target = ao_pipeline(z, CAM, AOParams(strength=1.4), None)[0]
@@ -50,6 +51,7 @@ def test_grads_wrt_tunables_finite_and_nonzero():
     assert abs(leaves["strength"]) > 1e-6
 
 
+@pytest.mark.slow
 def test_grads_wrt_depth_finite():
     z = _scene()
     target = jnp.ones_like(ao_pipeline(z, CAM, AOParams(), None)[0]) * 0.5
@@ -59,6 +61,7 @@ def test_grads_wrt_depth_finite():
     assert np.all(np.isfinite(gd)) and np.abs(gd).max() > 0
 
 
+@pytest.mark.slow
 def test_fit_recovers_strength():
     z = _scene()
     p_true = AOParams(strength=1.6)

@@ -20,6 +20,7 @@ def test_presets():
     assert len(PRESETS) == 5
 
 
+@pytest.mark.slow
 def test_preset_renders():
     from tpuao.models.pipeline import render_frame
 

@@ -19,6 +19,7 @@ def _render(batch):
     return render_frame(batch, CAM, PAR, impl="jnp")
 
 
+@pytest.mark.slow
 def test_batched_results_match_per_frame():
     frames = [F.spheres_on_plane(64, 128, n_spheres=2, seed=s
                                  ).astype(np.float32) for s in range(6)]
@@ -52,6 +53,7 @@ def test_partial_batch_flushes_on_timeout():
     np.testing.assert_allclose(out, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_mixed_shapes_group_separately():
     za = F.spheres_on_plane(64, 128, n_spheres=2, seed=3).astype(np.float32)
     zb = F.spheres_on_plane(96, 128, n_spheres=2, seed=4).astype(np.float32)
@@ -67,6 +69,7 @@ def test_mixed_shapes_group_separately():
         atol=1e-6)
 
 
+@pytest.mark.slow
 def test_multibuffer_submits_batch_homogeneously():
     """normals/color extras ride the queueing: same-combination requests
     share a flush (stacked extras arrive as keywords), different
@@ -139,6 +142,7 @@ def test_concurrent_submitters():
         np.testing.assert_allclose(results[i], want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batcher_feeds_sharded_views():
     """The batcher's render_fn can be the multi-chip sharded program:
     single-frame requests coalesce into a view-sharded batch across the
@@ -198,6 +202,7 @@ def test_ladder_low_occupancy_uses_small_rung():
         out, np.asarray(render_frame(z, CAM, PAR, impl="jnp")), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_ladder_mid_occupancy_pads_to_next_rung():
     sizes = []
 

@@ -51,6 +51,7 @@ def test_cli_render_png_in_out(tmp_path):
     assert ao.min() < 250 and ao.max() > 200  # plane ~1, spheres darken
 
 
+@pytest.mark.slow
 def test_cli_render_preset_sections_debug(tmp_path):
     z = _depth(128, 128)
     src = str(tmp_path / "d.pfm")
@@ -91,6 +92,7 @@ def test_cli_tunable_flags_cover_param_ranges():
         assert f"--{name.replace('_', '-')}" in render_help, name
 
 
+@pytest.mark.slow
 def test_cli_normals_png_remap(tmp_path):
     """PNG normal maps carry the standard (n+1)/2 encoding; the CLI
     remaps them to signed [-1, 1] so they match the raw 'PF' .pfm path
@@ -137,6 +139,7 @@ def test_cli_rejects_bad_buffers_and_camera(tmp_path, capsys):
     assert "fov" in capsys.readouterr().err
 
 
+@pytest.mark.slow
 def test_cli_render_sequence(tmp_path):
     # 5 frames, batch 2: tests the padded tail batch + one compiled shape
     outd = tmp_path / "out"

@@ -192,6 +192,7 @@ def test_wait_ready_and_stats(scene):
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_render_many_fills_batcher_flushes(scene):
     """Concurrent fan-out from ONE client actually shares the server's
     micro-batched flushes (a sequential loop would leave every flush at

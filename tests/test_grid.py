@@ -27,6 +27,7 @@ def _padded_single(z):
         HALO: HALO + z.shape[0]]
 
 
+@pytest.mark.slow
 def test_grid_2x4_matches_padded_single_device():
     v, h, w = 2, 1280, 128  # 2 views x 4 bands of 320 rows
     zs = _views(v, h, w)
@@ -38,6 +39,7 @@ def test_grid_2x4_matches_padded_single_device():
         np.testing.assert_allclose(out[i], _padded_single(zs[i]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_grid_multiple_views_per_chip():
     v, h, w = 4, 640, 128  # 4 views on a 2-view mesh -> lax.map of 2 each
     zs = _views(v, h, w)
@@ -66,6 +68,7 @@ def test_grid_collectives_neighbor_only_and_view_independent():
         assert coll not in hlo, coll
 
 
+@pytest.mark.slow
 def test_grid_auto_pad_height():
     """Misaligned H on the 2-D mesh: auto_pad pads rows and crops back."""
     from tpuao.parallel.grid import make_grid_mesh, render_views_spatial
@@ -86,6 +89,7 @@ def test_grid_auto_pad_height():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_grid_per_view_rig():
     """per_view camera/tunable rigs on the 2-D mesh: view-axis-sharded
     leaves, row-axis replicated."""

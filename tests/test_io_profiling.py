@@ -1,6 +1,8 @@
 """IO helpers + timing-utility smoke tests."""
 
 import numpy as np
+import pytest
+
 import jax.numpy as jnp
 
 from tpuao.utils.io import (
@@ -49,6 +51,7 @@ def test_host_chain_time_ms_smoke():
     assert np.isfinite(ms)
 
 
+@pytest.mark.slow
 def test_stage_times_covers_all_stages():
     from tpuao.params import AOParams, CameraParams
     from tpuao.utils.fixtures import spheres_on_plane
@@ -64,6 +67,7 @@ def test_stage_times_covers_all_stages():
     assert all(np.isfinite(v) for v in times.values())
 
 
+@pytest.mark.slow
 def test_demo_script(tmp_path):
     import subprocess
     import sys
@@ -79,6 +83,7 @@ def test_demo_script(tmp_path):
         assert (tmp_path / f).exists(), f
 
 
+@pytest.mark.slow
 def test_streaming_script(tmp_path):
     import subprocess
     import sys
@@ -95,6 +100,7 @@ def test_streaming_script(tmp_path):
     assert "4 frames" in r.stdout
 
 
+@pytest.mark.slow
 def test_streaming_script_normals(tmp_path):
     """--normals mode: PF normals + color triples through the prefetcher
     into the normal-weighted estimator + on-device composite."""
@@ -266,6 +272,7 @@ def test_serve_endpoint_batched():
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_serve_endpoint_view_sharded():
     """mesh= routes batcher flushes through render_views (the config-5
     fleet-serving shape): each flush renders view-sharded over the CPU
@@ -311,6 +318,7 @@ def test_serve_endpoint_view_sharded():
     assert srv.batcher._closed
 
 
+@pytest.mark.slow
 def test_serve_endpoint_multibuffer():
     """Normals / color ride the same POST body as concatenated PFM
     frames (config-3-style serving): depth+normals renders the
@@ -398,6 +406,7 @@ def test_serve_endpoint_multibuffer():
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_serve_multibuffer_rides_batcher():
     """Default-knob normals requests route through the micro-batcher
     (not forced direct): concurrent same-shape normals requests share a
@@ -446,6 +455,7 @@ def test_serve_multibuffer_rides_batcher():
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_serve_multibuffer_view_sharded_batcher():
     """Fleet shape + multi-buffer: normals flushes render view-sharded
     across the mesh and match the single-device program."""
@@ -492,6 +502,7 @@ def test_serve_multibuffer_view_sharded_batcher():
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_warm_server_compiles_all_advertised_programs():
     """warm_server marks the server ready and pre-compiles every
     program combination the /ao handler can route to, so the first
@@ -504,13 +515,16 @@ def test_warm_server_compiles_all_advertised_programs():
     srv = S.make_server(0, batch_size=2)
     try:
         assert not srv.warmed
-        warmed = S.warm_server(srv, (64, 96), ("normals", "color"))
+        warmed = S.warm_server(srv, (64, 96), ("normals",))
         assert srv.warmed
+        # every ladder rung per combination (batch_size=2 -> rungs 1, 2);
+        # one extra buffer suffices to pin the combination x rung grid
+        # (the full normals+color product is exercised by the endpoint
+        # tests; this was a 135 s test at the full product)
         assert warmed == [
-            "depth", "depth[batch 2]",
-            "depth+color", "depth+color[batch 2]",
-            "depth+normals", "depth+normals[batch 2]",
-            "depth+color+normals", "depth+color+normals[batch 2]"]
+            "depth", "depth[batch 1]", "depth[batch 2]",
+            "depth+normals", "depth+normals[batch 1]",
+            "depth+normals[batch 2]"]
         with pytest.raises(ValueError, match="unknown warmup buffers"):
             S.warm_server(srv, (64, 96), ("normals", "albedo"))
     finally:
@@ -581,6 +595,7 @@ def test_serve_retries_transient_faults(monkeypatch):
         srv.server_close()
 
 
+@pytest.mark.slow
 def test_serve_load_script():
     """The full-stack serving load harness runs and its accounting is
     self-consistent (all requests complete, all ride the batcher)."""
@@ -603,6 +618,7 @@ def test_serve_load_script():
     assert out["client_latency_ms"]["p50"] is not None
 
 
+@pytest.mark.slow
 def test_calibrate_script():
     import subprocess
     import sys
@@ -610,7 +626,7 @@ def test_calibrate_script():
 
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     r = subprocess.run(
-        [sys.executable, "examples/calibrate.py", "96x128"],
+        [sys.executable, "examples/calibrate.py", "64x96", "--steps", "20"],
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]

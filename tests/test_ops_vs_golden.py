@@ -5,6 +5,7 @@ the 1e-3 pipeline budget ([BJ] metric) -- we assert 1e-5 per op.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -164,6 +165,7 @@ def test_blur_upsample_step_hi_planes_identical(rng):
     np.testing.assert_array_equal(base, fed)
 
 
+@pytest.mark.slow
 def test_chain_step_banded_bit_exact(rng):
     """The unrolled row-band chain step (tested variant, not wired --
     see its docstring) is bit-equal to the whole-field form, including

@@ -118,6 +118,7 @@ def test_pallas_upsample_blendout(rng):
     np.testing.assert_allclose(got, want, atol=TOL, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_full_pipeline_impl_pallas():
     z = F.spheres_on_plane(128, 192, n_spheres=4, seed=3)
     from tpuao.models.pipeline import render_frame
@@ -129,6 +130,7 @@ def test_full_pipeline_impl_pallas():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_full_pipeline_impl_fused():
     # fused render+premin+filter+upsample chain kernel
     z = F.spheres_on_plane(128, 192, n_spheres=4, seed=3)
@@ -141,6 +143,7 @@ def test_full_pipeline_impl_fused():
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_fused_step_zero_copy_variant(rng):
     from tpuao.ops import pallas_kernels as PK
     from tpuao.ops import render as R
@@ -159,6 +162,7 @@ def test_fused_step_zero_copy_variant(rng):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fused_step_uneven_tiles(rng):
     from tpuao.ops import pallas_kernels as PK
     from tpuao.ops import render as R
@@ -177,6 +181,7 @@ def test_fused_step_uneven_tiles(rng):
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_batched_frames_all_impls():
     # ADVICE r1: leading-batch input must work (or vmap-fallback) for every
     # impl, not just "auto"/"jnp".
@@ -209,6 +214,7 @@ def test_fully_occluded_pixel_small_strength():
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_normals_layout_handling():
     """Channel-first and channel-last normals give identical results on
     every impl; ambiguous layouts raise instead of silently misreading."""

@@ -24,6 +24,9 @@ from tpuao.parallel.spatial import (
 from tpuao.params import AOParams, CameraParams
 from tpuao.utils import fixtures as F
 
+# cross-mode parity sweeps: every test compiles multiple sharded programs (slow tier; the per-mode basics stay in smoke via their own files)
+pytestmark = pytest.mark.slow
+
 CAM = CameraParams(depth_mode="linear")
 PAR2 = AOParams(hierarchy_depth=2, use_normals=True)  # halo 128: small tests
 HALO2 = stencil_halo_rows(PAR2)

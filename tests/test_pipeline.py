@@ -48,6 +48,7 @@ def test_full_pipeline_hardware_depth_matches_golden():
     np.testing.assert_allclose(got, want, atol=TOL)
 
 
+@pytest.mark.slow
 def test_pipeline_normals_matches_golden():
     z, n = _scene(with_normals=True)
     cam_j = CameraParams(depth_mode="linear")
@@ -80,6 +81,7 @@ def test_single_scale_ao_config1():
     np.testing.assert_allclose(ao, want, atol=TOL)
 
 
+@pytest.mark.slow
 def test_vmap_equals_stack():
     zs = np.stack([_scene(64, 64), F.corner(64, 64), F.flat_plane(64, 64)])
     cam = CameraParams(depth_mode="linear")
@@ -92,6 +94,7 @@ def test_vmap_equals_stack():
     np.testing.assert_allclose(batched, single, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_no_recompile_on_tunable_change():
     z = jnp.asarray(_scene(64, 64), jnp.float32)
     cam = CameraParams(depth_mode="linear")
@@ -151,6 +154,7 @@ def test_composite_integer_color():
     assert lit[..., 0].mean() > 100  # not blacked out
 
 
+@pytest.mark.slow
 def test_engine_multichip_entries():
     """The engine's render_views / render_spatial / render_sections carry
     its camera/params/out_dtype into the parallel modes."""
@@ -198,6 +202,7 @@ def test_single_scale_odd_input_ceil_crop():
     assert ao.shape == (33, 49)
 
 
+@pytest.mark.slow
 def test_k_blur_zero_tolerance_no_nan():
     """blur_tolerance = log10(1/step_size) makes the un-floored k_blur
     exactly 0; the corner-aligned taps then hit 0/0 (regression: whole
@@ -272,6 +277,7 @@ def test_blendout_wiring_identical():
     assert np.abs(plain - premin).max() > 0.1
 
 
+@pytest.mark.slow
 def test_param_fuzz_matches_golden():
     # random tunables across their full ranges: jnp pipeline must track the
     # golden spec everywhere, not just at defaults (SURVEY.md SS5.4)
@@ -327,6 +333,7 @@ def test_shape_param_fuzz_matches_golden():
             got, want, atol=5e-4, err_msg=f"{h}x{w} {par}")
 
 
+@pytest.mark.slow
 def test_pipeline_on_image_depth(tmp_path):
     # SURVEY.md SS5.3: procedural depth from an image file
     from tpuao.utils.io import load_depth_image, save_ao_image
@@ -344,6 +351,7 @@ def test_pipeline_on_image_depth(tmp_path):
     save_ao_image(ao, str(tmp_path / "ao.png"))
 
 
+@pytest.mark.slow
 def test_low_precision_depth_inputs():
     # f16/bf16 depth buffers are accepted and cast up to f32
     import jax.numpy as jnp
@@ -381,6 +389,7 @@ def test_enable_blur_false():
                                    err_msg=f"{h}x{w}")
 
 
+@pytest.mark.slow
 def test_batched_frames_all_impls():
     """A leading batch of frames works for every impl (ADVICE r1: the
     Pallas/fused paths used to crash on 3-D input)."""
@@ -425,6 +434,7 @@ def test_full_res_720p_matches_golden():
     assert np.abs(got - want).max() <= 1e-3  # [BJ] budget; expect ~1e-5
 
 
+@pytest.mark.slow
 def test_out_dtype_formats():
     """R8 render-texture analog (SURVEY SS3.0 RT inventory): uint8 output
     is exactly round(ao_f32 * 255); bfloat16 is the f32 result cast."""
@@ -454,6 +464,7 @@ def test_engine_out_dtype():
     assert out.dtype == np.uint8 and out.shape == (96, 128)
 
 
+@pytest.mark.slow
 def test_banded_render_variant():
     """Row-banded render variant (investigated for 8K; kept tested, not
     wired into auto -- see pipeline render loop NOTE): agrees with the

@@ -50,6 +50,7 @@ def test_is_transient_classifier():
     assert not is_transient(RuntimeError("RESOURCE_EXHAUSTED: vmem"))
 
 
+@pytest.mark.slow
 def test_wraps_real_jitted_program():
     import jax.numpy as jnp
     import numpy as np

@@ -40,6 +40,7 @@ def test_section_plan_bounds():
     assert section_plan(512, 1, 320) == (512, 512, [(0, 512, 0)])
 
 
+@pytest.mark.slow
 def test_sections_match_monolithic():
     h, w = 2560, 128
     z = F.spheres_on_plane(h, w, n_spheres=5, seed=6).astype(np.float32)
@@ -51,6 +52,7 @@ def test_sections_match_monolithic():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sections_misaligned_height_depth2():
     # derived halo (128 for depth 2) + a height needing the pad-and-crop
     h, w = 1000, 128
@@ -63,6 +65,7 @@ def test_sections_misaligned_height_depth2():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sections_normals_color_out_dtype():
     h, w = 512, 128
     z, n = F.spheres_on_plane(h, w, n_spheres=4, seed=8, with_normals=True)
@@ -81,6 +84,7 @@ def test_sections_normals_color_out_dtype():
     assert np.abs(got.astype(np.int32) - want.astype(np.int32)).max() <= 1
 
 
+@pytest.mark.slow
 def test_sections_fused_matches_monolithic():
     from tpuao.parallel.sections import render_frame_sections_fused
 
@@ -104,6 +108,7 @@ def test_sections_fused_matches_monolithic():
     np.testing.assert_allclose(got2, want2, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_derived_halo_sufficient_at_every_depth():
     """Sections-vs-monolithic equality IS an empirical stencil-reach
     test: if stencil_halo_rows under-estimated the reach for some
@@ -123,6 +128,7 @@ def test_derived_halo_sufficient_at_every_depth():
                                    err_msg=f"depth={d} blur={blur}")
 
 
+@pytest.mark.slow
 def test_sections_fused_rejects_clamped_plan():
     """band < halo clamps the plan; the fused form's uniform-shape
     stacks would keep the wrong crop rows (review r3), so it must refuse
@@ -140,6 +146,7 @@ def test_sections_fused_rejects_clamped_plan():
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+@pytest.mark.slow
 def test_sections_batched_inputs():
     """Leading batch axes thread through the row slicing/stitching."""
     b, h, w = 2, 512, 128

@@ -26,6 +26,7 @@ def test_eight_cpu_devices_available():
     assert len(jax.devices()) == 8, jax.devices()
 
 
+@pytest.mark.slow
 def test_sharded_matches_per_frame(views):
     cam = CameraParams(depth_mode="linear")
     par = AOParams()
@@ -55,6 +56,7 @@ def test_sharded_program_has_no_collectives(views):
         assert coll not in hlo, f"unexpected collective {coll} in hot path"
 
 
+@pytest.mark.slow
 def test_mesh_subset(views):
     cam = CameraParams(depth_mode="linear")
     out = render_views_sharded(views[:4], cam, AOParams(),
@@ -62,6 +64,7 @@ def test_mesh_subset(views):
     assert out.shape == (4, 64, 128)
 
 
+@pytest.mark.slow
 def test_uneven_views_padded_and_cropped(views):
     """9 views on an 8-device mesh (VERDICT r2 item 8): the batch is
     padded to the mesh multiple by replicating the last view and the pad
@@ -83,6 +86,7 @@ def test_uneven_views_padded_and_cropped(views):
     np.testing.assert_allclose(np.asarray(out3), single[:3], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_per_view_camera_rig(views):
     """per_view=True: each view renders with its OWN camera and tunables
     (the reference's one-component-per-camera rig, inexpressible with a
@@ -148,6 +152,7 @@ def test_per_view_camera_rig(views):
                              per_view=True)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entry():
     import sys
     sys.path.insert(0, "/root/repo")
@@ -170,6 +175,7 @@ def test_sharded_views_exceed_devices(views):
     np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_views_exceed_devices_normals(views):
     cam = CameraParams(depth_mode="linear")
     par = AOParams(use_normals=True)
@@ -186,6 +192,7 @@ def test_sharded_views_exceed_devices_normals(views):
     np.testing.assert_allclose(np.asarray(out), single, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_sharded_no_retrace_on_tunable_change():
     """Parallel modes share the engine's no-recompile contract: tunable
     changes and repeat calls reuse the cached compiled program

@@ -23,6 +23,7 @@ def depth():
     return F.spheres_on_plane(H, W, n_spheres=5, seed=6).astype(np.float32)
 
 
+@pytest.mark.slow
 def test_spatial_matches_padded_single_device(depth):
     cam = CameraParams(depth_mode="linear")
     par = AOParams()
@@ -38,6 +39,7 @@ def test_spatial_matches_padded_single_device(depth):
     np.testing.assert_allclose(np.asarray(out), want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_spatial_interior_matches_plain(depth):
     cam = CameraParams(depth_mode="linear")
     par = AOParams()
@@ -74,6 +76,7 @@ def test_spatial_requires_aligned_height():
                              mesh=make_row_mesh(4), auto_pad=False)
 
 
+@pytest.mark.slow
 def test_spatial_auto_pad_8k_height():
     """Real 8K height (4320 -> padded 4352) is not divisible by 64*8;
     auto_pad pads to 4608 and crops back.  Narrow width keeps the CPU
@@ -96,6 +99,7 @@ def test_spatial_auto_pad_8k_height():
     assert np.isfinite(out).all() and out.min() >= 0 and out.max() <= 1
 
 
+@pytest.mark.slow
 def test_spatial_realistic_aspect():
     """2560x512, 8 bands of 320 rows (== HALO minimum): a landscape-ish
     aspect rather than the skinny strip above (VERDICT r1 item 8)."""
