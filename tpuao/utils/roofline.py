@@ -128,9 +128,11 @@ def floors_ms(measured_ms: float, h: int, w: int, flops: float | None,
     ``pct_of_scheduled`` = scheduled_est / measured.  >100% means the
     program BEATS the zero-VMEM-residency estimate (sub-frame buffers
     stayed on-chip / DMA overlapped); <100% means pipeline bubbles.
-    Measured round-4 values: 720p 93%, 8K 104%, 1080p 144%, 4K 135% --
-    i.e. the big-frame programs run AT the bandwidth limit of what the
-    compiler scheduled, and the small-frame ones beat it on residency.
+    The census is a property of ONE compiled program -- it shifts with
+    the scoped-VMEM budget and autotune overrides -- so current values
+    live in BENCH_DETAIL.json, not here.  Shape of the shipped record:
+    every config >100%, big frames least (~130%: near the scheduled
+    bandwidth limit), small/mid frames most (~215-235%: VMEM residency).
     """
     mem_ms = min_traffic_bytes(h, w, **traffic_kw) / (HBM_GBPS * 1e6)
     out = {"mem_floor_ms": round(mem_ms, 4)}
