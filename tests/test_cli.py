@@ -236,3 +236,62 @@ def test_cli_render_projection_inline_and_errors(tmp_path, capsys):
     assert main(["render", src, dst, "--projection",
                  ",".join(str(v) for v in np.eye(4).ravel())]) == 2
     assert "perspective" in capsys.readouterr().err
+
+
+def test_cli_render_sequence_temporal(tmp_path):
+    """--temporal sequence: frame 0 equals the single-frame render, later
+    identical frames stay at the steady state; --camera-path with identity
+    views matches the static-camera run."""
+    from tpuao.models.pipeline import render_frame_temporal
+
+    z = _depth(64, 96)
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    for t in range(3):
+        save_pfm(str(seq / f"f{t:03d}.pfm"), z)
+    out = tmp_path / "out"
+    assert main(["render", str(seq / "f*.pfm"), str(out),
+                 "--depth-mode", "linear", "--temporal",
+                 "--history-weight", "0.8", "--batch", "2"]) == 0
+    ref, st = render_frame_temporal(
+        z, None, CameraParams(depth_mode="linear"), AOParams())
+    np.testing.assert_allclose(load_pfm(str(out / "f000_ao.pfm")),
+                               np.asarray(ref), atol=1e-6)
+    np.testing.assert_allclose(load_pfm(str(out / "f002_ao.pfm")),
+                               np.asarray(ref), atol=1e-6)
+
+    views = [np.eye(4).ravel().tolist() for _ in range(3)]
+    vp = tmp_path / "views.json"
+    vp.write_text(json.dumps(views))
+    out2 = tmp_path / "out2"
+    assert main(["render", str(seq / "f*.pfm"), str(out2),
+                 "--depth-mode", "linear", "--temporal",
+                 "--camera-path", str(vp)]) == 0
+    np.testing.assert_allclose(load_pfm(str(out2 / "f002_ao.pfm")),
+                               load_pfm(str(out / "f002_ao.pfm")),
+                               atol=1e-5)
+
+
+def test_cli_temporal_usage_errors(tmp_path, capsys):
+    z = _depth(32, 32)
+    src = str(tmp_path / "d.pfm")
+    save_pfm(src, z)
+    # single frame: temporal needs a sequence
+    assert main(["render", src, str(tmp_path / "o.pfm"),
+                 "--temporal"]) == 2
+    assert "sequence" in capsys.readouterr().err
+    # camera path length mismatch
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    for t in range(2):
+        save_pfm(str(seq / f"f{t}.pfm"), z)
+    vp = tmp_path / "v.json"
+    vp.write_text(json.dumps([np.eye(4).ravel().tolist()]))
+    assert main(["render", str(seq / "f*.pfm"), str(tmp_path / "out"),
+                 "--temporal", "--camera-path", str(vp),
+                 "--depth-mode", "linear"]) == 2
+    assert "views for" in capsys.readouterr().err
+    # out-of-range tunable -> ValueError contract (exit 2)
+    assert main(["render", str(seq / "f*.pfm"), str(tmp_path / "out"),
+                 "--temporal", "--history-weight", "1.5",
+                 "--depth-mode", "linear"]) == 2

@@ -1,0 +1,395 @@
+"""Temporal accumulation tests (spec: tpuao/golden/temporal.py).
+
+Golden property tests pin the resolve semantics (null history, disocclusion
+reset, identity-motion == static, translation reprojection geometry); the
+parity tests hold the JAX implementation (ops/temporal.py and the pipeline/
+scan drivers) to the golden spec.
+"""
+
+import numpy as np
+import pytest
+
+from tpuao.golden import temporal as GT
+from tpuao.golden.reference import linearize_depth
+from tpuao.params import (
+    AOParams,
+    CameraParams,
+    GoldenCameraParams,
+    GoldenTemporalParams,
+    TemporalParams,
+)
+from tpuao.utils import fixtures as F
+
+
+CAM = GoldenCameraParams(depth_mode="linear")
+JCAM = CameraParams(depth_mode="linear")
+
+
+def smooth_depth(h, w, seed=0):
+    """Smooth analytic depth in (0, 1): bounded neighbor deltas keep the
+    f32-vs-f64 bilinear coordinate quantization error well under 1e-3."""
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    z = 0.45 + 0.15 * np.sin(xx / 17.0 + rng.uniform(0, 6)) * \
+        np.cos(yy / 23.0 + rng.uniform(0, 6)) + 0.1 * (xx + yy) / (h + w)
+    return np.clip(z, 0.05, 0.95)
+
+
+def smooth_field(h, w, seed=1):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    return 0.5 + 0.4 * np.sin(xx / 11.0 + rng.uniform(0, 6)) * \
+        np.sin(yy / 13.0 + rng.uniform(0, 6))
+
+
+def translation(tx=0.0, ty=0.0, tz=0.0):
+    m = np.eye(4)
+    m[0, 3], m[1, 3], m[2, 3] = tx, ty, tz
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Golden spec properties
+# ---------------------------------------------------------------------------
+
+def test_null_history_resolves_to_current():
+    h, w = 48, 64
+    ao = smooth_field(h, w)
+    d = smooth_depth(h, w)
+    prev_ao = np.ones((h, w))
+    prev_d = np.full((h, w), GT.NULL_DEPTH)
+    out = GT.temporal_resolve_golden(ao, d, prev_ao, prev_d, CAM,
+                                     GoldenTemporalParams())
+    np.testing.assert_array_equal(out, ao)
+
+
+def test_static_blend_formula():
+    # matching depths, clamp off: out = w*hist + (1-w)*curr exactly
+    h, w = 32, 40
+    ao = smooth_field(h, w)
+    hist = smooth_field(h, w, seed=7)
+    d = smooth_depth(h, w)
+    tp = GoldenTemporalParams(history_weight=0.8, neighborhood_clamp=False)
+    out = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp)
+    np.testing.assert_allclose(out, 0.8 * hist + 0.2 * ao, atol=1e-12)
+
+
+def test_disocclusion_resets_to_current():
+    h, w = 32, 40
+    ao = smooth_field(h, w)
+    hist = np.zeros((h, w))  # maximally different history
+    d = smooth_depth(h, w)
+    tp = GoldenTemporalParams(depth_tolerance=0.1, neighborhood_clamp=False)
+    out = GT.temporal_resolve_golden(ao, d, hist, d * 2.0, CAM, tp)
+    np.testing.assert_array_equal(out, ao)  # rel_err 1.0 >> tol
+
+
+def test_confidence_soft_falloff_monotone():
+    # history influence decreases monotonically with depth mismatch
+    h, w = 16, 16
+    ao = np.full((h, w), 0.5)
+    hist = np.ones((h, w))
+    d = np.full((h, w), 0.4)
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.2,
+                              neighborhood_clamp=False)
+    outs = [
+        GT.temporal_resolve_golden(ao, d, hist, d * (1 + e), CAM, tp).mean()
+        for e in (0.0, 0.05, 0.1, 0.15, 0.25)
+    ]
+    assert all(a >= b - 1e-12 for a, b in zip(outs, outs[1:]))
+    assert outs[0] == pytest.approx(0.5 + 0.9 * 0.5)  # full confidence
+    assert outs[-1] == pytest.approx(0.5)  # past tolerance: no history
+
+
+def test_neighborhood_clamp_bounds_history():
+    h, w = 32, 32
+    ao = smooth_field(h, w)
+    hist = np.ones((h, w))  # bright ghost everywhere
+    d = smooth_depth(h, w)
+    tp = GoldenTemporalParams(history_weight=0.9, neighborhood_clamp=True)
+    out = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp)
+    lo, hi = GT.neighborhood_bounds(ao)
+    assert np.all(out <= 0.9 * hi + 0.1 * ao + 1e-12)
+
+
+def test_identity_motion_matches_static_path():
+    h, w = 40, 56
+    ao = smooth_field(h, w)
+    hist = smooth_field(h, w, seed=3)
+    d = smooth_depth(h, w)
+    tp = GoldenTemporalParams(neighborhood_clamp=False)
+    stat = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp, motion=None)
+    ident = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp,
+                                       motion=np.eye(4))
+    np.testing.assert_allclose(ident, stat, atol=1e-9)
+
+
+def test_translation_reprojects_expected_pixel():
+    """A lateral camera-space translation lands history taps exactly where
+    the pinhole geometry says: an impulse planted at the predicted previous
+    pixel is picked up at full confidence (constant-depth plane keeps depth
+    agreement exact)."""
+    h, w = 64, 96
+    d01 = 0.5
+    d = np.full((h, w), d01)
+    ao = np.full((h, w), 0.5)
+    # p_prev = p_curr + [tx, 0, 0]: choose tx for an exact +5-pixel column
+    # shift at this depth: jp = j + tx / (z * tanH) * (W/2)
+    z = d01 * CAM.far
+    shift = 5
+    tx = shift * z * CAM.tan_half_fov_h * 2.0 / w
+    hist = np.full((h, w), 0.5)
+    iy, jx = h // 2, w // 2
+    hist[iy, jx + shift] = 1.0  # impulse at the predicted prev pixel
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.2,
+                              neighborhood_clamp=False)
+    out = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp,
+                                     motion=translation(tx=tx))
+    # the impulse is gathered at (iy, jx) and nowhere else
+    expect = 0.9 * 1.0 + 0.1 * 0.5
+    assert out[iy, jx] == pytest.approx(expect, abs=1e-9)
+    # every other pixel stays at the flat 0.5 (in-bounds history is also
+    # 0.5; out-of-bounds history falls back to the current 0.5)
+    mask = np.ones((h, w), bool)
+    mask[iy, jx] = False
+    assert np.allclose(out[mask], 0.5, atol=1e-9)
+
+
+def test_vertical_translation_sign():
+    # +ty in eye space is 'up': history for a pixel comes from SMALLER
+    # row indices... derive: yp = y + ty, v' = v + ty/(z tanV),
+    # ip = (1-v')/2*h - .5 = i - ty/(z tanV) * h/2  (up-shift: smaller ip)
+    h, w = 64, 64
+    d01 = 0.4
+    z = d01 * CAM.far
+    tan_v = CAM.tan_half_fov_h * h / w
+    shift = 3
+    ty = shift * z * tan_v * 2.0 / h
+    d = np.full((h, w), d01)
+    ao = np.full((h, w), 0.5)
+    hist = np.full((h, w), 0.5)
+    iy, jx = h // 2, w // 2
+    hist[iy - shift, jx] = 1.0
+    tp = GoldenTemporalParams(history_weight=0.9, neighborhood_clamp=False)
+    out = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp,
+                                     motion=translation(ty=ty))
+    assert out[iy, jx] == pytest.approx(0.9 + 0.1 * 0.5, abs=1e-9)
+
+
+def test_behind_camera_rejected():
+    h, w = 32, 32
+    d = np.full((h, w), 0.2)
+    ao = np.full((h, w), 0.7)
+    hist = np.zeros((h, w))
+    tp = GoldenTemporalParams(neighborhood_clamp=False)
+    # push every point behind the previous camera
+    out = GT.temporal_resolve_golden(
+        ao, d, hist, d, CAM, tp, motion=translation(tz=-0.3 * CAM.far))
+    np.testing.assert_array_equal(out, ao)
+
+
+# ---------------------------------------------------------------------------
+# JAX implementation parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("clamp", [True, False])
+def test_impl_matches_golden_static(clamp):
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 96, 128
+    ao = smooth_field(h, w)
+    hist = smooth_field(h, w, seed=5)
+    d = smooth_depth(h, w)
+    pd = d * (1.0 + 0.04 * np.sin(np.arange(w) / 5.0))  # partial confidence
+    tp = GoldenTemporalParams(history_weight=0.85, depth_tolerance=0.1,
+                              neighborhood_clamp=clamp)
+    jtp = TemporalParams(history_weight=0.85, depth_tolerance=0.1,
+                         neighborhood_clamp=clamp)
+    want = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp)
+    got = np.asarray(temporal_resolve(
+        ao.astype(np.float32), d.astype(np.float32),
+        hist.astype(np.float32), pd.astype(np.float32), JCAM, jtp))
+    assert np.abs(got - want).max() <= 1e-3
+    assert np.abs(got - want).max() <= 5e-5  # measured headroom
+
+
+@pytest.mark.parametrize("motion", [
+    translation(tx=0.8, ty=-0.5, tz=1.3),
+    # gentle rotation about the view axis + translation
+    np.array([[0.9998, -0.02, 0.0, 0.4],
+              [0.02, 0.9998, 0.0, -0.2],
+              [0.0, 0.0, 1.0, 0.8],
+              [0.0, 0.0, 0.0, 1.0]]),
+])
+def test_impl_matches_golden_motion(motion):
+    from tpuao.golden.temporal import reproject_coords
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 96, 128
+    ao = smooth_field(h, w)
+    hist = smooth_field(h, w, seed=9)
+    d = smooth_depth(h, w)
+    pd = smooth_depth(h, w, seed=2)
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                              neighborhood_clamp=False)
+    jtp = TemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                         neighborhood_clamp=False)
+    want = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp, motion)
+    got = np.asarray(temporal_resolve(
+        ao.astype(np.float32), d.astype(np.float32),
+        hist.astype(np.float32), pd.astype(np.float32), JCAM, jtp,
+        motion=motion.astype(np.float32)))
+    # mask the validity boundary: pixels whose continuous prev coordinate
+    # sits within 1e-3 texels of the frame edge can flip the binary
+    # in-bounds mask between f32 and f64 (the only discontinuity in the
+    # resolve; everything else is Lipschitz in the coordinates)
+    ip, jp, _, _ = reproject_coords(d, CAM, motion)
+    eps = 1e-3
+    safe = ((np.abs(ip + 0.5) > eps) & (np.abs(ip - (h - 0.5)) > eps)
+            & (np.abs(jp + 0.5) > eps) & (np.abs(jp - (w - 0.5)) > eps))
+    err = np.abs(got - want)[safe].max()
+    assert err <= 1e-3
+    assert err <= 1e-4  # measured headroom
+
+
+def test_pipeline_temporal_static_steady_state():
+    from tpuao.models.pipeline import render_frame, render_frame_temporal
+
+    z = F.spheres_on_plane(96, 128, n_spheres=3, seed=3).astype(np.float32)
+    par = AOParams()
+    single = np.asarray(render_frame(z, JCAM, par))
+    out0, st = render_frame_temporal(z, None, JCAM, par)
+    # frame 0: null history -> exactly the single-frame result
+    np.testing.assert_allclose(np.asarray(out0), single, atol=1e-6)
+    # repeated identical frames: steady state (history == current)
+    out1, st = render_frame_temporal(z, st, JCAM, par)
+    np.testing.assert_allclose(np.asarray(out1), single, atol=1e-6)
+    # state carries (resolved, linz)
+    np.testing.assert_allclose(np.asarray(st[1]),
+                               np.asarray(z, np.float64), atol=1e-6)
+
+
+def test_pipeline_temporal_denoises():
+    """Accumulation across noisy depth frames suppresses frame-to-frame AO
+    flicker -- the reason the mode exists.  (Flicker, not mean error vs the
+    clean scene, is the right metric: depth noise also biases the AO
+    estimate, and no temporal filter can remove a bias common to every
+    frame.)"""
+    from tpuao.models.pipeline import render_frame, render_frame_temporal
+
+    rng = np.random.default_rng(11)
+    base = F.spheres_on_plane(96, 128, n_spheres=3, seed=4)
+    tp = TemporalParams(history_weight=0.9)
+    st, prev_out, prev_single = None, None, None
+    flicker_t, flicker_s = [], []
+    for t in range(12):
+        noisy = np.clip(base + rng.normal(0, 2e-3, base.shape), 1e-3, 1.0)
+        noisy = noisy.astype(np.float32)
+        out, st = render_frame_temporal(noisy, st, JCAM, AOParams(), tp)
+        out = np.asarray(out)
+        single = np.asarray(render_frame(noisy, JCAM, AOParams()))
+        if t >= 6:  # after the history warms up
+            flicker_t.append(np.abs(out - prev_out).mean())
+            flicker_s.append(np.abs(single - prev_single).mean())
+        prev_out, prev_single = out, single
+    assert np.mean(flicker_t) < 0.35 * np.mean(flicker_s)
+
+
+def test_sequence_scan_matches_stepwise():
+    from tpuao.models.pipeline import (
+        render_frame_temporal,
+        render_sequence_temporal,
+    )
+
+    t_n, h, w = 4, 96, 128
+    rng = np.random.default_rng(8)
+    depths = np.stack([
+        np.clip(F.spheres_on_plane(h, w, n_spheres=3, seed=s)
+                + rng.normal(0, 1e-3, (h, w)), 1e-3, 1.0)
+        for s in (5, 5, 5, 5)
+    ]).astype(np.float32)
+    motions = np.stack([np.eye(4, dtype=np.float32)] * t_n)
+    motions[1:, 0, 3] = 0.05  # small lateral drift each frame
+    tp = TemporalParams(history_weight=0.8)
+    seq = np.asarray(render_sequence_temporal(depths, JCAM, AOParams(), tp,
+                                              motions=motions))
+    assert seq.shape == (t_n, h, w)
+    st = None
+    for t in range(t_n):
+        out, st = render_frame_temporal(
+            depths[t], st, JCAM, AOParams(), tp,
+            motion=None if t == 0 else motions[t])
+        np.testing.assert_allclose(seq[t], np.asarray(out), atol=2e-6)
+
+
+@pytest.mark.slow
+def test_sequence_matches_golden_sequence():
+    from tpuao.models.pipeline import render_sequence_temporal
+    from tpuao.golden.temporal import render_sequence_golden
+    from tpuao.params import GoldenAOParams
+
+    t_n, h, w = 3, 96, 128
+    depths = np.stack([
+        F.spheres_on_plane(h, w, n_spheres=2, seed=s) for s in (1, 2, 3)
+    ])
+    motions = np.stack([np.eye(4)] * t_n)
+    motions[1:, 0, 3] = 0.3
+    tp = TemporalParams(history_weight=0.7)
+    gtp = GoldenTemporalParams(history_weight=0.7)
+    got = np.asarray(render_sequence_temporal(
+        depths.astype(np.float32), JCAM, AOParams(), tp,
+        motions=motions.astype(np.float32)))
+    want = render_sequence_golden(depths, CAM, GoldenAOParams(), gtp,
+                                  motions=motions)
+    assert np.abs(got - want).max() <= 1e-3
+
+
+def test_temporal_engine_view_matrices():
+    from tpuao.models.pipeline import TemporalAOEngine
+
+    z = F.spheres_on_plane(64, 64, n_spheres=2, seed=6).astype(np.float32)
+    eng = TemporalAOEngine(camera=JCAM)
+    v0 = np.eye(4)
+    v1 = np.eye(4)
+    v1[0, 3] = 0.1  # camera slides between frames
+    o0 = np.asarray(eng.render(z, view=v0))
+    o1 = np.asarray(eng.render(z, view=v1))
+    assert o0.shape == o1.shape == (64, 64)
+    assert np.all((o1 >= 0) & (o1 <= 1))
+    eng.reset()
+    o0b = np.asarray(eng.render(z, view=v0))
+    np.testing.assert_allclose(o0b, o0, atol=1e-6)
+    with pytest.raises(ValueError):
+        eng.render(z, motion=np.eye(4), view=v0)
+
+
+def test_temporal_params_validation():
+    with pytest.raises(ValueError):
+        TemporalParams(history_weight=1.5).validate()
+    with pytest.raises(ValueError):
+        TemporalParams(depth_tolerance=0.0).validate()
+    TemporalParams().validate()  # defaults in range
+
+
+def test_temporal_no_retrace_on_tunables():
+    """Tunables and motion values ride as traced leaves: changing them
+    must not recompile the temporal frame program."""
+    import jax
+
+    from tpuao.models.pipeline import (
+        _temporal_frame_jit_for_backend,
+        render_frame_temporal,
+    )
+
+    z = F.spheres_on_plane(64, 64, n_spheres=2, seed=2).astype(np.float32)
+    fn = _temporal_frame_jit_for_backend(jax.default_backend(), 0)
+    m0 = np.eye(4, dtype=np.float32)
+    m1 = m0.copy()
+    m1[0, 3] = 0.2
+    _, st = render_frame_temporal(z, None, JCAM, AOParams(),
+                                  TemporalParams(), motion=m0)
+    n0 = fn._cache_size()
+    render_frame_temporal(
+        z, st, JCAM, AOParams(strength=1.7),
+        TemporalParams(history_weight=0.5, depth_tolerance=0.3), motion=m1)
+    assert fn._cache_size() == n0

@@ -87,6 +87,24 @@ def _build_parser() -> argparse.ArgumentParser:
                    help="also dump the intermediate-buffer pyramid "
                    "(.npz file, or a zarr directory)")
 
+    r.add_argument("--temporal", action="store_true",
+                   help="sequence mode: temporal accumulation across "
+                   "frames (reprojection resolve, golden/temporal.py); "
+                   "frames render in order through a TemporalAOEngine")
+    r.add_argument("--camera-path", metavar="FILE",
+                   help="JSON list of per-frame 4x4 world->eye view "
+                   "matrices (16 floats each, row-major) for --temporal "
+                   "reprojection; omit for a static camera")
+    r.add_argument("--history-weight", type=float,
+                   help="--temporal: max history fraction kept per frame "
+                   "(default 0.9)")
+    r.add_argument("--depth-tolerance", type=float,
+                   help="--temporal: relative reprojected-depth mismatch "
+                   "at which history is dropped (default 0.1)")
+    r.add_argument("--no-temporal-clamp", action="store_true",
+                   help="--temporal: disable the 3x3 anti-ghosting "
+                   "neighborhood clamp")
+
     r.add_argument("--autotune-cache", metavar="PATH",
                    help="load per-shape scoped-VMEM budgets tuned by "
                    "`tpuao tune --save PATH` before rendering")
@@ -429,6 +447,14 @@ def _cmd_render_remote(a) -> int:
 
 
 def _cmd_render(a) -> int:
+    if a.temporal and not any(c in a.input for c in "*?["):
+        print("error: --temporal accumulates across a frame sequence; "
+              "pass a quoted glob input", file=sys.stderr)
+        return 2
+    if a.temporal and a.server:
+        print("error: --temporal is local sequence state; the remote "
+              "server renders stateless frames", file=sys.stderr)
+        return 2
     if a.server:
         return _cmd_render_remote(a)
     if a.autotune_cache:
@@ -512,6 +538,8 @@ def _cmd_render_sequence(a) -> int:
     streams = [dpaths] + [matched[k] for k in ("--normals", "--color")
                           if k in matched]
     camera, params = _build_component(a, was_png=False)
+    if a.temporal:
+        return _render_sequence_temporal(a, dpaths, streams, camera, params)
     eng = AmbientOcclusionEngine(camera, params, impl=a.impl)
 
     bs = max(1, a.batch)
@@ -546,6 +574,67 @@ def _cmd_render_sequence(a) -> int:
     kinds = "depth" + ("+normals" if a.normals else "") + \
         ("+color" if a.color else "")
     print(f"{done} frames -> {a.output} (batch {bs}, {kinds})")
+    return 0
+
+
+def _render_sequence_temporal(a, dpaths, streams, camera, params) -> int:
+    """--temporal sequence branch: frames render IN ORDER through a
+    TemporalAOEngine (history state forbids batching the device render;
+    the prefetcher still pipelines decode of the next batch under the
+    current batch's renders)."""
+    import json
+
+    from tpuao.models.pipeline import TemporalAOEngine
+    from tpuao.params import TemporalParams
+    from tpuao.utils.frameio import FramePrefetcher
+
+    views = None
+    if a.camera_path:
+        with open(a.camera_path) as f:
+            raw = json.load(f)
+        views = [np.asarray(v, np.float64).reshape(4, 4) for v in raw]
+        if len(views) != len(dpaths):
+            print(f"error: --camera-path has {len(views)} views for "
+                  f"{len(dpaths)} frames", file=sys.stderr)
+            return 2
+    tp = TemporalParams(
+        history_weight=(0.9 if a.history_weight is None
+                        else a.history_weight),
+        depth_tolerance=(0.1 if a.depth_tolerance is None
+                         else a.depth_tolerance),
+        neighborhood_clamp=not a.no_temporal_clamp).validate()
+    eng = TemporalAOEngine(camera, params, tparams=tp, impl=a.impl)
+
+    bs = max(1, a.batch)
+    batches = []
+    for i in range(0, len(dpaths), bs):
+        sl = tuple(s[i:i + bs] for s in streams)
+        batches.append(sl if len(streams) > 1 else sl[0])
+    os.makedirs(a.output, exist_ok=True)
+
+    done = 0
+    with FramePrefetcher(batches) as pf:
+        for got in pf:
+            arrs = list(got) if isinstance(got, tuple) else [got]
+            it = iter(arrs[1:])
+            nrm = next(it) if a.normals else None
+            col = next(it) if a.color else None
+            for j in range(arrs[0].shape[0]):
+                t = done + j
+                ao = np.asarray(eng.render(
+                    arrs[0][j],
+                    normals=None if nrm is None else nrm[j],
+                    color=None if col is None else col[j],
+                    view=None if views is None else views[t]))
+                stem = os.path.splitext(os.path.basename(dpaths[t]))[0]
+                _save_image(os.path.join(a.output,
+                                         f"{stem}_ao.{a.out_format}"), ao)
+            done += arrs[0].shape[0]
+    kinds = "depth" + ("+normals" if a.normals else "") + \
+        ("+color" if a.color else "")
+    print(f"{done} frames -> {a.output} (temporal, "
+          f"{'camera path' if views is not None else 'static camera'}, "
+          f"{kinds})")
     return 0
 
 

@@ -311,6 +311,143 @@ def single_scale_ao(depth, camera=None, params=None, impl: str = "auto"):
     return _single_scale_jit(jnp.asarray(depth), camera, params, impl=impl)
 
 
+# ---------------------------------------------------------------------------
+# Temporal accumulation (beyond-reference; spec: golden/temporal.py)
+# ---------------------------------------------------------------------------
+
+from tpuao.params import TemporalParams  # noqa: E402
+from tpuao.ops import temporal as T  # noqa: E402
+
+
+def _temporal_frame_core(depth, prev_ao, prev_depth, motion, camera, params,
+                         tparams, normals, color, impl: str, out_dtype: str):
+    """Jit-traceable core: frame pipeline + temporal resolve in ONE program.
+
+    The pipeline's full-res linear depth is read out of the debug dict --
+    under jit the unused debug entries are dead code and cost nothing, so
+    this reuses the already-computed LinearZ instead of linearizing twice.
+    Returns ``(output, (resolved_ao, linear_depth))``; the state tuple is
+    always f32 full-res regardless of ``out_dtype``/``color``.
+    """
+    h0, w0 = depth.shape[-2:]
+    ao, dbg = ao_pipeline(depth, camera, params, normals, impl=impl)
+    linz = dbg["linear_z"][..., :h0, :w0]
+    resolved = T.temporal_resolve(ao, linz, prev_ao, prev_depth, camera,
+                                  tparams, motion)
+    out = resolved if color is None else C.composite(color, resolved)
+    return _quantize(out, out_dtype), (resolved, linz)
+
+
+@functools.lru_cache(maxsize=None)
+def _temporal_frame_jit_for_backend(backend: str, kib: int):
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(kib)}
+            if backend == "tpu" and kib else None)
+    return jax.jit(_temporal_frame_core,
+                   static_argnames=("impl", "out_dtype"),
+                   compiler_options=opts)
+
+
+def render_frame_temporal(depth, state=None, camera=None, params=None,
+                          tparams=None, motion=None, normals=None,
+                          color=None, impl: str = "auto",
+                          out_dtype: str = "float32"):
+    """One temporally-accumulated frame: pipeline + resolve, one program.
+
+    ``state`` is the ``(ao, depth)`` history from the previous call (or
+    None for a fresh sequence -- the null history makes frame 0 resolve to
+    its own single-frame AO).  ``motion`` is the current->previous eye
+    transform (4x4; ``tpuao.utils.camera.relative_motion``), or None for a
+    static camera (gather-free).  Returns ``(output, new_state)``.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    tparams = tparams or TemporalParams()
+    depth = jnp.asarray(depth)
+    h0, w0 = depth.shape[-2:]
+    if depth.ndim != 2:
+        raise ValueError("temporal accumulation is per-sequence: depth must "
+                         f"be a single (H, W) frame, got {depth.shape} "
+                         "(batch independent sequences with jax.vmap)")
+    if state is None:
+        state = T.initial_state(h0, w0)
+    if normals is not None:
+        normals = jnp.asarray(normals)
+    if color is not None:
+        color = jnp.asarray(color)
+    if motion is not None:
+        motion = jnp.asarray(motion, jnp.float32)
+    backend = jax.default_backend()
+    kib = (scoped_vmem_kib(h0 * w0, normals is not None
+                           and params.use_normals)
+           if backend == "tpu" else 0)
+    fn = _temporal_frame_jit_for_backend(backend, kib)
+    return fn(depth, state[0], state[1], motion, camera, params, tparams,
+              normals, color, impl=impl, out_dtype=out_dtype)
+
+
+def _sequence_scan_core(depths, motions, normals, camera, params, tparams,
+                        impl: str, out_dtype: str):
+    h0, w0 = depths.shape[-2:]
+    init = T.initial_state(h0, w0)
+
+    def step(carry, xs):
+        depth, motion, nrm = xs
+        out, carry = _temporal_frame_core(
+            depth, carry[0], carry[1], motion, camera, params, tparams,
+            nrm, None, impl, out_dtype)
+        return carry, out
+
+    xs = (depths, motions, normals)
+    _, outs = jax.lax.scan(step, init, xs)
+    return outs
+
+
+@functools.lru_cache(maxsize=None)
+def _sequence_scan_jit_for_backend(backend: str, kib: int):
+    opts = ({"xla_tpu_scoped_vmem_limit_kib": str(kib)}
+            if backend == "tpu" and kib else None)
+    return jax.jit(_sequence_scan_core,
+                   static_argnames=("impl", "out_dtype"),
+                   compiler_options=opts)
+
+
+def render_sequence_temporal(depths, camera=None, params=None, tparams=None,
+                             motions=None, normals=None, impl: str = "auto",
+                             out_dtype: str = "float32"):
+    """Temporally-accumulated sequence as ONE ``lax.scan`` program.
+
+    ``depths`` is (T, H, W); ``motions`` is None (static camera) or
+    (T, 4, 4) where ``motions[t]`` maps frame t's eye space to frame
+    t-1's (``motions[0]`` is irrelevant: the null history zeroes frame 0's
+    blend).  The whole sequence compiles to a single XLA program -- zero
+    host round-trips between frames, which matters on dispatch-taxed
+    links (docs/PERF.md: this relay charges ~3.3 ms per extra launch).
+    Returns the (T, H, W) resolved stack.
+    """
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    tparams = tparams or TemporalParams()
+    depths = jnp.asarray(depths)
+    if depths.ndim != 3:
+        raise ValueError(f"depths must be (T, H, W), got {depths.shape}")
+    if motions is not None:
+        motions = jnp.asarray(motions, jnp.float32)
+        if motions.shape != (depths.shape[0], 4, 4):
+            raise ValueError(
+                f"motions must be ({depths.shape[0]}, 4, 4), "
+                f"got {motions.shape}")
+    if normals is not None:
+        normals = jnp.asarray(normals)
+    h0, w0 = depths.shape[-2:]
+    backend = jax.default_backend()
+    kib = (scoped_vmem_kib(h0 * w0, normals is not None
+                           and params.use_normals)
+           if backend == "tpu" else 0)
+    fn = _sequence_scan_jit_for_backend(backend, kib)
+    return fn(depths, motions, normals, camera, params, tparams,
+              impl=impl, out_dtype=out_dtype)
+
+
 class AmbientOcclusionEngine:
     """Stateful driver analog of the reference MonoBehaviour (SURVEY.md SS4).
 
@@ -417,5 +554,74 @@ class AmbientOcclusionEngine:
             depth, self.camera, self._params, n_sections=n_sections,
             halo_rows=halo_rows, impl=self.impl, normals=normals,
             color=color, out_dtype=self.out_dtype)
+
+    __call__ = render
+
+
+class TemporalAOEngine(AmbientOcclusionEngine):
+    """Stateful temporal-accumulation driver (spec: golden/temporal.py).
+
+    Carries the ``(ao, depth)`` history across ``render`` calls and derives
+    per-frame motion from camera *view* matrices when given::
+
+        eng = TemporalAOEngine()
+        out = eng.render(depth0, view=V0)   # frame 0: resolves to itself
+        out = eng.render(depth1, view=V1)   # reprojected accumulation
+
+    ``view`` is the world->eye matrix (``tpuao.utils.camera`` convention);
+    omit it (or pass ``motion`` directly) for a static camera.  ``reset()``
+    drops history (scene cut).  Tunables ride as traced scalars like the
+    base engine's; ``neighborhood_clamp`` is static.
+    """
+
+    def __init__(self, camera: CameraParams | None = None,
+                 params: AOParams | None = None,
+                 tparams: TemporalParams | None = None,
+                 impl: str = "auto", out_dtype: str = "float32"):
+        super().__init__(camera, params, impl=impl, out_dtype=out_dtype)
+        self._tparams = (tparams or TemporalParams()).validate()
+        self._state = None
+        self._prev_view = None
+
+    @property
+    def tparams(self) -> TemporalParams:
+        return self._tparams
+
+    @tparams.setter
+    def tparams(self, value: TemporalParams):
+        self._tparams = value.validate()
+
+    history_weight = property(
+        lambda s: s._tparams.history_weight,
+        lambda s, v: setattr(s, "tparams",
+                             s._tparams.replace(history_weight=v)))
+    depth_tolerance = property(
+        lambda s: s._tparams.depth_tolerance,
+        lambda s, v: setattr(s, "tparams",
+                             s._tparams.replace(depth_tolerance=v)))
+
+    def reset(self):
+        """Drop accumulated history (scene cut / sequence restart)."""
+        self._state = None
+        self._prev_view = None
+
+    def render(self, depth, normals=None, color=None, motion=None,
+               view=None):
+        if motion is not None and view is not None:
+            raise ValueError("pass motion= or view=, not both")
+        if view is not None:
+            from tpuao.utils.camera import relative_motion
+
+            import numpy as np
+
+            view = np.asarray(view, np.float64).reshape(4, 4)
+            if self._prev_view is not None:
+                motion = relative_motion(self._prev_view, view)
+            self._prev_view = view
+        out, self._state = render_frame_temporal(
+            depth, self._state, self.camera, self._params, self._tparams,
+            motion=motion, normals=normals, color=color, impl=self.impl,
+            out_dtype=self.out_dtype)
+        return out
 
     __call__ = render

@@ -1,0 +1,156 @@
+"""Temporal AO resolve -- TPU implementation of golden/temporal.py.
+
+Beyond-reference (the reference is a single-frame effect, SURVEY.md SS1):
+exponential history accumulation with camera reprojection and depth-based
+disocclusion rejection.  The spec (conventions, resolve formula, null-
+history initialization) lives in ``tpuao/golden/temporal.py``; this module
+must match it to <= 1e-3 (measured ~1e-6 in f32).
+
+TPU-first notes
+---------------
+
+* The moving-camera path needs a *data-dependent* bilinear gather of the
+  history fields (prev pixel coordinates vary per texel).  Both history
+  fields (AO + depth) are stacked into one (2, H*W) operand so each of the
+  4 bilinear taps is a single ``jnp.take`` -- 4 gathers total instead of 8.
+* The static-camera path (``motion=None``) is gather-free: identity
+  reprojection reads history in place, and the resolve is pure fused
+  elementwise work (it adds ~0 cost on top of the frame pipeline).
+* ``motion`` rides as a traced (4, 4) array: per-frame camera motion never
+  recompiles.  ``motion=None`` vs a matrix is a static structural choice
+  (it selects the gather-free program).
+* All confidence/blend math is elementwise and fuses into the surrounding
+  program; the 3x3 neighborhood clamp is 8 shifted-slice min/max ops (the
+  same shifted-window pattern as the render stencil).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = [
+    "NULL_DEPTH",
+    "initial_state",
+    "temporal_resolve",
+]
+
+# Matches golden/temporal.py: any real normalized depth (<= 1) is rejected
+# against this sentinel for every in-range depth_tolerance.
+NULL_DEPTH = 1.0e6
+
+
+def initial_state(h: int, w: int, dtype=jnp.float32):
+    """Null history ``(ao=1, depth=NULL_DEPTH)``: frame 0 resolves to its
+    own single-frame AO (zero confidence everywhere), no special-casing."""
+    return (jnp.ones((h, w), dtype),
+            jnp.full((h, w), NULL_DEPTH, dtype))
+
+
+def _neighborhood_bounds(ao):
+    """(min, max) over the edge-clamped 3x3 neighborhood (golden
+    ``neighborhood_bounds``): pad + 9 shifted windows, fused by XLA."""
+    h, w = ao.shape[-2:]
+    p = jnp.pad(ao, [(0, 0)] * (ao.ndim - 2) + [(1, 1), (1, 1)],
+                mode="edge")
+    lo = ao
+    hi = ao
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            win = p[..., 1 + dy: 1 + dy + h, 1 + dx: 1 + dx + w]
+            lo = jnp.minimum(lo, win)
+            hi = jnp.maximum(hi, win)
+    return lo, hi
+
+
+def _reproject_coords(depth, camera, motion):
+    """Traced mirror of golden ``reproject_coords`` (f32)."""
+    h, w = depth.shape[-2:]
+    tanh = camera.tan_half_fov_h
+    tan_v = tanh * (h / w)
+    far = camera.far
+    u = (2.0 * (jnp.arange(w, dtype=jnp.float32) + 0.5) / w) - 1.0
+    v = 1.0 - 2.0 * (jnp.arange(h, dtype=jnp.float32) + 0.5) / h
+    z = depth * far
+    x = (u[None, :] * tanh) * z
+    y = (v[:, None] * tan_v) * z
+    m = motion.astype(jnp.float32)
+    xp = m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3]
+    yp = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3]
+    zp = m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+    in_front = zp > 0.0
+    zs = jnp.where(in_front, zp, 1.0)
+    jp = ((xp / (zs * tanh)) + 1.0) * (0.5 * w) - 0.5
+    ip = (1.0 - (yp / (zs * tan_v))) * (0.5 * h) - 0.5
+    return ip, jp, zp / far, in_front
+
+
+def _bilinear_gather2(ao, d, ip, jp):
+    """Bilinear sample of BOTH history fields at continuous (ip, jp).
+
+    Stacks (ao, depth) into one (2, H*W) operand so each tap is a single
+    gather; returns ``(hist_ao, hist_depth)``.  Coordinate clipping matches
+    golden ``bilinear_sample`` (validity is the caller's mask).
+    """
+    h, w = ao.shape[-2:]
+    ip = jnp.clip(ip, 0.0, h - 1.0)
+    jp = jnp.clip(jp, 0.0, w - 1.0)
+    i0 = jnp.minimum(jnp.floor(ip), h - 2.0) if h > 1 else jnp.zeros_like(ip)
+    j0 = jnp.minimum(jnp.floor(jp), w - 2.0) if w > 1 else jnp.zeros_like(jp)
+    fi = ip - i0
+    fj = jp - j0
+    i0 = i0.astype(jnp.int32)
+    j0 = j0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, h - 1)
+    j1 = jnp.minimum(j0 + 1, w - 1)
+    flat = jnp.stack([ao.reshape(-1), d.reshape(-1)])  # (2, H*W)
+
+    def tap(ii, jj):
+        return jnp.take(flat, ii * w + jj, axis=1)  # (2, H, W)
+
+    f00 = tap(i0, j0)
+    f01 = tap(i0, j1)
+    f10 = tap(i1, j0)
+    f11 = tap(i1, j1)
+    top = f00 * (1.0 - fj) + f01 * fj
+    bot = f10 * (1.0 - fj) + f11 * fj
+    out = top * (1.0 - fi) + bot * fi
+    return out[0], out[1]
+
+
+def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
+                     tparams, motion=None):
+    """One temporal resolve step (spec: golden/temporal.py).
+
+    All fields (H, W) f32; depths are normalized linear eye depth.  Returns
+    the resolved AO; the caller's next history state is
+    ``(resolved, curr_depth)``.  ``motion`` is a traced (4, 4) current->
+    previous eye transform, or None for the gather-free static-camera path.
+    """
+    curr_ao = curr_ao.astype(jnp.float32)
+    curr_depth = curr_depth.astype(jnp.float32)
+    prev_ao = prev_ao.astype(jnp.float32)
+    prev_depth = prev_depth.astype(jnp.float32)
+    h, w = curr_ao.shape[-2:]
+
+    if motion is None:
+        hist, d_hist = prev_ao, prev_depth
+        expected = curr_depth
+        valid = 1.0
+    else:
+        ip, jp, z_prev, in_front = _reproject_coords(curr_depth, camera,
+                                                     jnp.asarray(motion))
+        hist, d_hist = _bilinear_gather2(prev_ao, prev_depth, ip, jp)
+        expected = z_prev
+        valid = (in_front
+                 & (ip >= -0.5) & (ip <= h - 0.5)
+                 & (jp >= -0.5) & (jp <= w - 0.5)).astype(jnp.float32)
+
+    rel_err = jnp.abs(d_hist - expected) / jnp.maximum(expected, 1e-6)
+    conf = jnp.clip(1.0 - rel_err / tparams.depth_tolerance, 0.0, 1.0)
+    alpha = tparams.history_weight * valid * conf
+    if tparams.neighborhood_clamp:
+        lo, hi = _neighborhood_bounds(curr_ao)
+        hist = jnp.clip(hist, lo, hi)
+    return alpha * hist + (1.0 - alpha) * curr_ao

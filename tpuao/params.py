@@ -131,6 +131,15 @@ PARAM_RANGES: dict[str, tuple[float, float]] = {
     "strength": (0.1, 10.0),
 }
 
+# Temporal accumulation (golden/temporal.py spec; beyond-reference).
+# history_weight < 1 keeps the accumulator a strict contraction (w = 1
+# would never converge and ghosts forever); depth_tolerance is a relative
+# depth mismatch, > 0 so confidence is well-defined.
+TEMPORAL_PARAM_RANGES: dict[str, tuple[float, float]] = {
+    "history_weight": (0.0, 0.98),
+    "depth_tolerance": (0.005, 1.0),
+}
+
 if struct is not None:
 
     @struct.dataclass
@@ -173,6 +182,38 @@ if struct is not None:
                 raise ValueError(
                     f"hierarchy_depth must be in [1,4], got {self.hierarchy_depth}"
                 )
+            return self
+
+    @struct.dataclass
+    class TemporalParams:
+        """Temporal-accumulation tunables (ops/temporal.py; beyond-reference
+        -- the reference is single-frame, SURVEY.md SS1).  Float fields are
+        traced scalars; ``neighborhood_clamp`` is static structure.
+
+        * ``history_weight``  - max fraction of history kept per frame
+          (effective averaging window ~ 1/(1-w) frames).
+        * ``depth_tolerance`` - relative reprojected-depth mismatch at which
+          history confidence reaches 0 (soft linear falloff from 0).
+        * ``neighborhood_clamp`` - clamp history to the 3x3 min/max envelope
+          of the current frame's AO (anti-ghosting for occlusion changes
+          depth agreement cannot catch).
+        """
+
+        history_weight: Any = 0.9
+        depth_tolerance: Any = 0.1
+        neighborhood_clamp: bool = struct.field(
+            pytree_node=False, default=True)
+
+        def validate(self) -> "TemporalParams":
+            import numpy as _np
+
+            for name, (lo, hi) in TEMPORAL_PARAM_RANGES.items():
+                v = getattr(self, name)
+                if (isinstance(v, (int, float, _np.floating, _np.integer))
+                        and not (lo <= float(v) <= hi)):
+                    raise ValueError(
+                        f"TemporalParams.{name}={v} outside range "
+                        f"[{lo}, {hi}]")
             return self
 
     @struct.dataclass
@@ -360,6 +401,7 @@ if struct is not None:
 else:  # pragma: no cover
     AOParams = None
     CameraParams = None
+    TemporalParams = None
 
 
 # ---------------------------------------------------------------------------
@@ -380,6 +422,13 @@ class GoldenAOParams:
     enable_blur: bool = True
     use_normals: bool = False
     screenspace_diameter: float = 10.0
+
+
+@dataclasses.dataclass(frozen=True)
+class GoldenTemporalParams:
+    history_weight: float = 0.9
+    depth_tolerance: float = 0.1
+    neighborhood_clamp: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -416,6 +465,15 @@ def to_golden(params, camera) -> tuple[GoldenAOParams, GoldenCameraParams]:
         depth_mode=camera.depth_mode,
     )
     return gp, gc
+
+
+def to_golden_temporal(tparams) -> GoldenTemporalParams:
+    """Convert (possibly traced) TemporalParams to plain floats."""
+    return GoldenTemporalParams(
+        history_weight=float(np.asarray(tparams.history_weight)),
+        depth_tolerance=float(np.asarray(tparams.depth_tolerance)),
+        neighborhood_clamp=tparams.neighborhood_clamp,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,6 +101,22 @@ def camera_from_projection(p, depth_mode: str = "hardware") -> CameraParams:
                         reversed_z=reversed_z, depth_mode=depth_mode)
 
 
+def relative_motion(view_prev, view_curr) -> np.ndarray:
+    """Frame-to-frame eye-space motion for temporal reprojection.
+
+    Given world->eye *view* matrices for the previous and current frames
+    (4x4, row-major, ``eye = V @ world``), returns the rigid transform
+    taking current-frame eye coordinates to previous-frame eye coordinates
+    (the ``motion`` argument of ``tpuao.ops.temporal.temporal_resolve`` /
+    the golden spec)::
+
+        motion = V_prev @ inv(V_curr)
+    """
+    vp = np.asarray(view_prev, dtype=np.float64).reshape(4, 4)
+    vc = np.asarray(view_curr, dtype=np.float64).reshape(4, 4)
+    return vp @ np.linalg.inv(vc)
+
+
 def hardware_depth(z_eye, p) -> np.ndarray:
     """Eye-space depth -> hardware depth buffer values under matrix ``p``
     (the test oracle: ``A + B/z``)."""
