@@ -610,6 +610,58 @@ def main():
 
     hz.section("quality ladder", sec_ladder)
 
+    # ---- temporal accumulation (beyond-reference; golden/temporal.py):
+    # what the resolve adds to a 1080p frame.  Static camera is fused
+    # elementwise (~free); moving camera uses the gather-free windowed
+    # reprojection (default R=4; the true-gather alternative measured
+    # ~47 ms at 1080p -- benchmarks/exp/temporal_cost.py); the scan row
+    # shows the whole-sequence-as-one-program rate (zero per-frame
+    # launches on a relay that charges ~3.3 ms each).
+    def sec_temporal():
+        from tpuao.models.pipeline import (
+            _sequence_scan_core,
+            _temporal_frame_core,
+        )
+        from tpuao.ops import temporal as TT
+        from tpuao.params import TemporalParams
+
+        zd, p2, ms2 = st["zd"], st["p2"], st["ms2"]
+        h, w = zd.shape
+        tp = TemporalParams()
+        prev_ao, _ = TT.initial_state(h, w)
+        prev_d = zd  # agreeing history: full-confidence blend path
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 0.05
+        mo = jnp.asarray(m)
+
+        def fstat(d):
+            return _temporal_frame_core(d, prev_ao, prev_d, None, cam, p2,
+                                        tp, None, None, impl, "float32")
+
+        def fmove(d):
+            return _temporal_frame_core(d, prev_ao, prev_d, mo, cam, p2,
+                                        tp, None, None, impl, "float32")
+
+        ms_s = device_time_ms(fstat, zd, iters=REPS)
+        ms_m = device_time_ms(fmove, zd, iters=REPS)
+        t_n = 8
+        depths = jnp.stack([zd] * t_n)
+        motions = jnp.stack([mo] * t_n)
+        ms_seq = device_time_ms(
+            lambda ds: _sequence_scan_core(ds, motions, None, cam, p2, tp,
+                                           impl, "float32"),
+            depths, iters=REPS)
+        results["temporal_1080p"] = {
+            "ms_frame_plus_resolve_static": round(ms_s, 4),
+            "ms_frame_plus_resolve_windowed": round(ms_m, 4),
+            "resolve_overhead_static_ms": round(ms_s - ms2, 4),
+            "resolve_overhead_windowed_ms": round(ms_m - ms2, 4),
+            "max_displacement": tp.max_displacement,
+            "scan8_ms_per_frame": round(ms_seq / t_n, 4),
+        }
+
+    hz.section("temporal accumulation 1080p", sec_temporal)
+
     hz.flush()
     progress(f"done in {time.monotonic() - T0:.0f}s; "
              f"skipped={results['skipped']} errors={list(results['errors'])}")

@@ -142,7 +142,8 @@ def test_translation_reprojects_expected_pixel():
     iy, jx = h // 2, w // 2
     hist[iy, jx + shift] = 1.0  # impulse at the predicted prev pixel
     tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.2,
-                              neighborhood_clamp=False)
+                              neighborhood_clamp=False,
+                              max_displacement=None)
     out = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp,
                                      motion=translation(tx=tx))
     # the impulse is gathered at (iy, jx) and nowhere else
@@ -171,6 +172,7 @@ def test_vertical_translation_sign():
     iy, jx = h // 2, w // 2
     hist[iy - shift, jx] = 1.0
     tp = GoldenTemporalParams(history_weight=0.9, neighborhood_clamp=False)
+    assert shift <= tp.max_displacement  # stays inside the default window
     out = GT.temporal_resolve_golden(ao, d, hist, d, CAM, tp,
                                      motion=translation(ty=ty))
     assert out[iy, jx] == pytest.approx(0.9 + 0.1 * 0.5, abs=1e-9)
@@ -213,6 +215,7 @@ def test_impl_matches_golden_static(clamp):
     assert np.abs(got - want).max() <= 5e-5  # measured headroom
 
 
+@pytest.mark.parametrize("max_displacement", [4, None])
 @pytest.mark.parametrize("motion", [
     translation(tx=0.8, ty=-0.5, tz=1.3),
     # gentle rotation about the view axis + translation
@@ -221,7 +224,7 @@ def test_impl_matches_golden_static(clamp):
               [0.0, 0.0, 1.0, 0.8],
               [0.0, 0.0, 0.0, 1.0]]),
 ])
-def test_impl_matches_golden_motion(motion):
+def test_impl_matches_golden_motion(motion, max_displacement):
     from tpuao.golden.temporal import reproject_coords
     from tpuao.ops.temporal import temporal_resolve
 
@@ -231,25 +234,70 @@ def test_impl_matches_golden_motion(motion):
     d = smooth_depth(h, w)
     pd = smooth_depth(h, w, seed=2)
     tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.3,
-                              neighborhood_clamp=False)
+                              neighborhood_clamp=False,
+                              max_displacement=max_displacement)
     jtp = TemporalParams(history_weight=0.9, depth_tolerance=0.3,
-                         neighborhood_clamp=False)
+                         neighborhood_clamp=False,
+                         max_displacement=max_displacement)
     want = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp, motion)
     got = np.asarray(temporal_resolve(
         ao.astype(np.float32), d.astype(np.float32),
         hist.astype(np.float32), pd.astype(np.float32), JCAM, jtp,
         motion=motion.astype(np.float32)))
-    # mask the validity boundary: pixels whose continuous prev coordinate
-    # sits within 1e-3 texels of the frame edge can flip the binary
-    # in-bounds mask between f32 and f64 (the only discontinuity in the
-    # resolve; everything else is Lipschitz in the coordinates)
+    # mask the validity boundaries: pixels whose continuous prev coordinate
+    # sits within 1e-3 texels of the frame edge (or the displacement
+    # window edge) can flip the binary validity mask between f32 and f64
+    # (the only discontinuities in the resolve; everything else is
+    # Lipschitz in the coordinates)
     ip, jp, _, _ = reproject_coords(d, CAM, motion)
     eps = 1e-3
     safe = ((np.abs(ip + 0.5) > eps) & (np.abs(ip - (h - 0.5)) > eps)
             & (np.abs(jp + 0.5) > eps) & (np.abs(jp - (w - 0.5)) > eps))
+    if max_displacement is not None:
+        ii, jj = np.mgrid[0:h, 0:w]
+        safe &= (np.abs(np.abs(ip - ii) - max_displacement) > eps)
+        safe &= (np.abs(np.abs(jp - jj) - max_displacement) > eps)
     err = np.abs(got - want)[safe].max()
     assert err <= 1e-3
     assert err <= 1e-4  # measured headroom
+
+
+def test_windowed_equals_gather_within_window():
+    """The gather-free windowed resolve is EXACT vs the true-gather path
+    wherever displacement fits the window (here: everywhere)."""
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 64, 96
+    ao = smooth_field(h, w).astype(np.float32)
+    hist = smooth_field(h, w, seed=9).astype(np.float32)
+    d = smooth_depth(h, w).astype(np.float32)
+    motion = translation(tx=0.4, ty=0.2).astype(np.float32)  # ~1 px
+    kw = dict(history_weight=0.9, depth_tolerance=0.3,
+              neighborhood_clamp=False)
+    got_w = np.asarray(temporal_resolve(
+        ao, d, hist, d, JCAM, TemporalParams(max_displacement=4, **kw),
+        motion=motion))
+    got_g = np.asarray(temporal_resolve(
+        ao, d, hist, d, JCAM, TemporalParams(max_displacement=None, **kw),
+        motion=motion))
+    np.testing.assert_allclose(got_w, got_g, atol=2e-6)
+
+
+def test_displacement_beyond_window_drops_history():
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 64, 96
+    ao = np.full((h, w), 0.5, np.float32)
+    hist = np.zeros((h, w), np.float32)
+    d = np.full((h, w), 0.5, np.float32)
+    z = 0.5 * float(JCAM.far)
+    # uniform 6-px column shift > R=4: every pixel loses history
+    tx = 6.0 * z * float(JCAM.tan_half_fov_h) * 2.0 / w
+    out = np.asarray(temporal_resolve(
+        ao, d, hist, d, JCAM,
+        TemporalParams(neighborhood_clamp=False, max_displacement=4),
+        motion=translation(tx=tx).astype(np.float32)))
+    np.testing.assert_allclose(out, 0.5, atol=1e-6)
 
 
 def test_pipeline_temporal_static_steady_state():

@@ -49,6 +49,7 @@ Resolve (the spec)
     rel_err   = |d_hist - z'/far| / max(z'/far, 1e-6)
     conf      = clip(1 - rel_err / depth_tolerance, 0, 1)   (soft rejection)
     valid     = [z' > 0] * [-0.5 <= i' <= H-0.5] * [-0.5 <= j' <= W-0.5]
+                * [|i'-i| <= R] * [|j'-j| <= R]     (if max_displacement=R)
     alpha     = history_weight * valid * conf
     hist      = clip(hist, min3x3(curr_ao), max3x3(curr_ao))   (if clamping)
     out       = alpha * hist + (1 - alpha) * curr_ao
@@ -58,6 +59,16 @@ history to the 3x3 min/max envelope of the current frame's AO -- the
 standard anti-ghosting measure for occlusion changes that depth agreement
 cannot catch (an occluder moving *near* a static receiver changes the
 receiver's AO without changing its depth).
+
+``max_displacement=R`` (default 4) additionally invalidates history that
+reprojects more than R pixels away from its output pixel.  Semantically a
+motion clamp (fast pans drop history one frame early); structurally it is
+what makes the TPU implementation gather-free: with displacements bounded
+by R, the bilinear gather is EXACTLY a sum of (2R+2)^2 statically-shifted
+windows weighted by per-pixel tent functions (ops/temporal.py), the same
+shifted-slice pattern as the render stencil -- measured ~400x faster than
+XLA's dynamic gather on TPU at 1080p.  ``max_displacement=None`` keeps
+the unbounded gather (offline/arbitrary motion).
 
 A fresh sequence starts from the null history ``(ao=1, depth=NULL_DEPTH)``:
 the depth mismatch drives ``conf`` to 0 everywhere, so frame 0 resolves to
@@ -212,7 +223,13 @@ def temporal_resolve_golden(
             in_front
             & (ip >= -0.5) & (ip <= h - 0.5)
             & (jp >= -0.5) & (jp <= w - 0.5)
-        ).astype(np.float64)
+        )
+        if tparams.max_displacement is not None:
+            r = float(tparams.max_displacement)
+            ii = np.arange(h, dtype=np.float64)[:, None]
+            jj = np.arange(w, dtype=np.float64)[None, :]
+            valid = valid & (np.abs(ip - ii) <= r) & (np.abs(jp - jj) <= r)
+        valid = valid.astype(np.float64)
 
     rel_err = np.abs(d_hist - expected) / np.maximum(expected, 1e-6)
     conf = np.clip(1.0 - rel_err / float(tparams.depth_tolerance), 0.0, 1.0)

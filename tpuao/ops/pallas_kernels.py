@@ -703,3 +703,74 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         interpret=_use_interpret(),
     )(scalars, *wins, *nwins)
     return out.reshape(g * R, w)[:h]
+
+
+# ---------------------------------------------------------------------------
+# Temporal windowed history resample (spec: golden/temporal.py)
+# ---------------------------------------------------------------------------
+
+def _windowed_resolve_kernel(r, R, w, refs_ref, di_ref, dj_ref, o_ref):
+    """Tent-weighted (2R+2)^2 shifted-window sum over a VMEM-resident
+    history tile (the gather-free bilinear of ops/temporal.py, one row
+    tile per grid step).  All window offsets are STATIC slices of the
+    resident (2, R+2p, w+2p) stack -- the same zero-gather stencil shape
+    as the render kernel; per-pixel tent weights are plain VPU math."""
+    p = r + 1
+    s = refs_ref[0]          # (2, R + 2p, w + 2p) padded history stack
+    di = di_ref[0]           # (R, w) row displacement rel. to each pixel
+    dj = dj_ref[0]
+    acc_a = jnp.zeros((R, w), jnp.float32)
+    acc_d = jnp.zeros((R, w), jnp.float32)
+    for oy in range(-r, r + 2):
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(di - oy))
+        for ox in range(-r, r + 2):
+            t = ty * jnp.maximum(0.0, 1.0 - jnp.abs(dj - ox))
+            acc_a = acc_a + t * s[0, p + oy: p + oy + R, p + ox: p + ox + w]
+            acc_d = acc_d + t * s[1, p + oy: p + oy + R, p + ox: p + ox + w]
+    o_ref[0, 0] = acc_a
+    o_ref[0, 1] = acc_d
+
+
+def windowed_resolve(prev_ao, prev_d, ip, jp, r: int, row_tile: int = 256):
+    """Pallas form of ops/temporal.py::_bilinear_windowed2 (bit-compatible;
+    returns ``(hist_ao, hist_depth)``).  One grid step holds a
+    (2, row_tile+2p, W+2p) history window resident in VMEM and runs the
+    full tap loop on it -- a single HBM read of the history per texel,
+    where the XLA row-scan form re-streams the accumulator carry every
+    scan step."""
+    h, w = prev_ao.shape[-2:]
+    p = r + 1
+    R = min(row_tile, h)
+    g = -(-h // R)
+    pad_rows = g * R - h
+
+    stack = jnp.stack([prev_ao.astype(jnp.float32),
+                       prev_d.astype(jnp.float32)])
+    sp = jnp.pad(stack, [(0, 0), (p, p + pad_rows), (p, p)], mode="edge")
+    wins = jnp.stack(
+        [sp[:, i * R: i * R + R + 2 * p, :] for i in range(g)])
+
+    di = ip - jnp.arange(h, dtype=jnp.float32)[:, None]
+    dj = jp - jnp.arange(w, dtype=jnp.float32)[None, :]
+
+    def tile_rows(x):
+        if pad_rows:
+            x = jnp.pad(x, [(0, pad_rows), (0, 0)], mode="edge")
+        return x.reshape(g, R, w)
+
+    win_spec = pl.BlockSpec((1, 2, R + 2 * p, w + 2 * p),
+                            lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    tile_spec = pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_windowed_resolve_kernel, r, R, w),
+        grid=(g,),
+        in_specs=[win_spec, tile_spec, tile_spec],
+        out_specs=pl.BlockSpec((1, 2, R, w), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((g, 2, R, w), jnp.float32),
+        interpret=_use_interpret(),
+    )(wins, tile_rows(di), tile_rows(dj))
+    out = out.transpose(1, 0, 2, 3).reshape(2, g * R, w)[:, :h]
+    return out[0], out[1]

@@ -9,10 +9,24 @@ must match it to <= 1e-3 (measured ~1e-6 in f32).
 TPU-first notes
 ---------------
 
-* The moving-camera path needs a *data-dependent* bilinear gather of the
-  history fields (prev pixel coordinates vary per texel).  Both history
-  fields (AO + depth) are stacked into one (2, H*W) operand so each of the
-  4 bilinear taps is a single ``jnp.take`` -- 4 gathers total instead of 8.
+* The moving-camera path needs a *data-dependent* bilinear sample of the
+  history fields (prev pixel coordinates vary per texel).  XLA's dynamic
+  gather is catastrophic on TPU (measured ~50 ms for the 4-tap bilinear
+  at 1080p -- ~400x the whole frame pipeline), so the DEFAULT path bounds
+  the per-frame displacement (``tparams.max_displacement=R``) and
+  evaluates the bilinear sample EXACTLY as a tent-weighted sum of
+  (2R+2)^2 statically-shifted windows::
+
+      out[i,j] = sum_{oy,ox} prev[i+oy, j+ox]
+                 * max(0, 1-|ip-(i+oy)|) * max(0, 1-|jp-(j+ox)|)
+
+  The tent products are nonzero only at the 4 enclosing taps, so this
+  equals the gather wherever ``|displacement| <= R`` (validity masks the
+  rest); every window is a static shifted slice of the edge-padded
+  history -- the same VMEM-friendly stencil pattern as the AO render,
+  fully fused by XLA, no gather HLO at all.  ``max_displacement=None``
+  opts into the true ``jnp.take`` gather for unbounded motion (both
+  history fields stacked into one (2, H*W) operand: 4 gathers, not 8).
 * The static-camera path (``motion=None``) is gather-free: identity
   reprojection reads history in place, and the resolve is pure fused
   elementwise work (it adds ~0 cost on top of the frame pipeline).
@@ -26,6 +40,7 @@ TPU-first notes
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -119,6 +134,51 @@ def _bilinear_gather2(ao, d, ip, jp):
     return out[0], out[1]
 
 
+def _bilinear_windowed2(ao, d, ip, jp, r: int):
+    """Gather-free bilinear sample of both history fields for bounded
+    displacements (see module docstring): tent-weighted sum over the
+    (2R+2)^2 shifted windows of the edge-padded fields.  Exact wherever
+    ``|ip - i| <= r`` and ``|jp - j| <= r`` (incl. the frame-edge clamp:
+    padded taps ARE the edge texels); garbage outside -- the caller's
+    validity mask zeroes those texels.
+
+    Structured as ONE ``lax.scan`` over the 2R+2 ROW offsets; each step
+    dynamic-slices one row band of the padded (2, H+2p, W+2p) history
+    stack and unrolls the 2R+2 COLUMN taps as static slices of that band.
+    Measured alternatives (benchmarks/exp/temporal_windowed.py, 1080p):
+
+      * fully unrolled (2R+2)^2 slices: fastest standalone at R=2 but
+        breaks the toolchain -- ~10-min remote compiles, a 2.7 GB
+        serialized executable at R=4 standalone (hard compile error),
+        +6.9 ms in-frame when it did compile;
+      * scan over ALL (2R+2)^2 offsets (one slice per step): compiles in
+        seconds but streams the carry through HBM every step
+        (~50 us/step == the 42 MB/step traffic model, R=4 ~5 ms);
+      * THIS row-scan form: 10x fewer carry round-trips than the flat
+        scan at the same compile friendliness.
+    """
+    h, w = ao.shape[-2:]
+    di = ip - jnp.arange(h, dtype=jnp.float32)[:, None]
+    dj = jp - jnp.arange(w, dtype=jnp.float32)[None, :]
+    p = r + 1  # offsets span [-r, r+1]
+    stack = jnp.stack([ao, d])
+    sp = jnp.pad(stack, [(0, 0), (p, p), (p, p)], mode="edge")
+    k = 2 * r + 2
+
+    def body(acc, oy):
+        band = jax.lax.dynamic_slice(sp, (0, p + oy, 0), (2, h, w + 2 * p))
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(di - oy.astype(jnp.float32)))
+        inner = jnp.zeros_like(acc)
+        for ox in range(-r, r + 2):
+            t = ty * jnp.maximum(0.0, 1.0 - jnp.abs(dj - ox))
+            inner = inner + t[None] * band[:, :, p + ox: p + ox + w]
+        return acc + inner, None
+
+    acc, _ = jax.lax.scan(body, jnp.zeros_like(stack),
+                          jnp.arange(-r, r + 2, dtype=jnp.int32))
+    return acc[0], acc[1]
+
+
 def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
                      tparams, motion=None):
     """One temporal resolve step (spec: golden/temporal.py).
@@ -141,11 +201,22 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
     else:
         ip, jp, z_prev, in_front = _reproject_coords(curr_depth, camera,
                                                      jnp.asarray(motion))
-        hist, d_hist = _bilinear_gather2(prev_ao, prev_depth, ip, jp)
+        r = tparams.max_displacement
+        if r is None:
+            hist, d_hist = _bilinear_gather2(prev_ao, prev_depth, ip, jp)
+        else:
+            hist, d_hist = _bilinear_windowed2(prev_ao, prev_depth, ip, jp,
+                                               int(r))
         expected = z_prev
         valid = (in_front
                  & (ip >= -0.5) & (ip <= h - 0.5)
-                 & (jp >= -0.5) & (jp <= w - 0.5)).astype(jnp.float32)
+                 & (jp >= -0.5) & (jp <= w - 0.5))
+        if r is not None:
+            rf = float(r)
+            di = ip - jnp.arange(h, dtype=jnp.float32)[:, None]
+            dj = jp - jnp.arange(w, dtype=jnp.float32)[None, :]
+            valid = valid & (jnp.abs(di) <= rf) & (jnp.abs(dj) <= rf)
+        valid = valid.astype(jnp.float32)
 
     rel_err = jnp.abs(d_hist - expected) / jnp.maximum(expected, 1e-6)
     conf = jnp.clip(1.0 - rel_err / tparams.depth_tolerance, 0.0, 1.0)

@@ -197,12 +197,19 @@ if struct is not None:
         * ``neighborhood_clamp`` - clamp history to the 3x3 min/max envelope
           of the current frame's AO (anti-ghosting for occlusion changes
           depth agreement cannot catch).
+        * ``max_displacement`` - drop history reprojecting more than this
+          many pixels away; bounding the displacement is what makes the
+          TPU resolve gather-free (a (2R+2)^2 tent-weighted shifted-window
+          sum; golden/temporal.py).  ``None`` = unbounded motion via a
+          true gather (~400x slower on TPU at 1080p, measured).
         """
 
         history_weight: Any = 0.9
         depth_tolerance: Any = 0.1
         neighborhood_clamp: bool = struct.field(
             pytree_node=False, default=True)
+        max_displacement: int | None = struct.field(
+            pytree_node=False, default=4)
 
         def validate(self) -> "TemporalParams":
             import numpy as _np
@@ -214,6 +221,11 @@ if struct is not None:
                     raise ValueError(
                         f"TemporalParams.{name}={v} outside range "
                         f"[{lo}, {hi}]")
+            r = self.max_displacement
+            if r is not None and not (isinstance(r, int) and 1 <= r <= 64):
+                raise ValueError(
+                    f"TemporalParams.max_displacement={r!r} must be None "
+                    "or an int in [1, 64] (window taps grow as (2R+2)^2)")
             return self
 
     @struct.dataclass
@@ -429,6 +441,7 @@ class GoldenTemporalParams:
     history_weight: float = 0.9
     depth_tolerance: float = 0.1
     neighborhood_clamp: bool = True
+    max_displacement: int | None = 4
 
 
 @dataclasses.dataclass(frozen=True)
@@ -473,6 +486,7 @@ def to_golden_temporal(tparams) -> GoldenTemporalParams:
         history_weight=float(np.asarray(tparams.history_weight)),
         depth_tolerance=float(np.asarray(tparams.depth_tolerance)),
         neighborhood_clamp=tparams.neighborhood_clamp,
+        max_displacement=tparams.max_displacement,
     )
 
 
