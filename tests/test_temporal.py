@@ -441,3 +441,108 @@ def test_temporal_no_retrace_on_tunables():
         z, st, JCAM, AOParams(strength=1.7),
         TemporalParams(history_weight=0.5, depth_tolerance=0.3), motion=m1)
     assert fn._cache_size() == n0
+
+
+# ---------------------------------------------------------------------------
+# Fleet temporal: view-sharded independent sequences (parallel/sharding.py)
+# ---------------------------------------------------------------------------
+
+
+def _fleet_depths(v, t_n, h, w):
+    return np.stack([
+        np.stack([F.spheres_on_plane(h, w, n_spheres=2, seed=10 * s + t)
+                  for t in range(t_n)])
+        for s in range(v)
+    ]).astype(np.float32)
+
+
+def test_sharded_sequences_match_per_view():
+    """(V, T, H, W) view-sharded fleet == per-view sequence scans."""
+    from tpuao.models.pipeline import render_sequence_temporal
+    from tpuao.parallel.sharding import (
+        make_mesh,
+        render_sequences_temporal_sharded,
+    )
+
+    v, t_n, h, w = 4, 3, 48, 64
+    depths = _fleet_depths(v, t_n, h, w)
+    tp = TemporalParams(history_weight=0.8)
+    out = render_sequences_temporal_sharded(
+        depths, JCAM, AOParams(), tp, mesh=make_mesh(4), impl="jnp")
+    assert out.shape == (v, t_n, h, w)
+    for s in range(v):
+        want = np.asarray(render_sequence_temporal(
+            depths[s], JCAM, AOParams(), tp, impl="jnp"))
+        np.testing.assert_allclose(np.asarray(out)[s], want, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_sharded_sequences_moving_cameras_and_normals():
+    """Per-view motion stacks and normals ride the same view sharding."""
+    from tpuao.models.pipeline import render_sequence_temporal
+    from tpuao.parallel.sharding import (
+        make_mesh,
+        render_sequences_temporal_sharded,
+    )
+
+    v, t_n, h, w = 8, 3, 48, 64
+    depths = _fleet_depths(v, t_n, h, w)
+    motions = np.tile(np.eye(4, dtype=np.float32), (v, t_n, 1, 1))
+    for s in range(v):
+        motions[s, 1:, 0, 3] = 0.02 * (s + 1)  # each view drifts its own way
+    normals = np.zeros((v, t_n, h, w, 3), np.float32)
+    normals[..., 2] = 1.0
+    tp = TemporalParams(history_weight=0.7)
+    par = AOParams(use_normals=True)
+    out = render_sequences_temporal_sharded(
+        depths, JCAM, par, tp, motions=motions, normals=normals,
+        mesh=make_mesh(8), impl="jnp")
+    assert out.shape == (v, t_n, h, w)
+    for s in (0, 3, 7):
+        want = np.asarray(render_sequence_temporal(
+            depths[s], JCAM, par, tp, motions=motions[s],
+            normals=normals[s], impl="jnp"))
+        np.testing.assert_allclose(np.asarray(out)[s], want, atol=2e-6)
+
+
+@pytest.mark.slow
+def test_sharded_sequences_uneven_views():
+    """5 sequences on a 4-mesh: pad+crop, values == per-view."""
+    from tpuao.models.pipeline import render_sequence_temporal
+    from tpuao.parallel.sharding import (
+        make_mesh,
+        render_sequences_temporal_sharded,
+    )
+
+    v, t_n, h, w = 5, 2, 48, 64
+    depths = _fleet_depths(v, t_n, h, w)
+    tp = TemporalParams()
+    out = render_sequences_temporal_sharded(
+        depths, JCAM, AOParams(), tp, mesh=make_mesh(4), impl="jnp")
+    assert out.shape == (v, t_n, h, w)
+    for s in range(v):
+        want = np.asarray(render_sequence_temporal(
+            depths[s], JCAM, AOParams(), tp, impl="jnp"))
+        np.testing.assert_allclose(np.asarray(out)[s], want, atol=2e-6)
+
+
+def test_sharded_sequences_program_has_no_collectives():
+    """Sequences are dependent in T but independent in V: the compiled
+    fleet program must contain zero collectives (same audit as
+    test_sharding.py for the single-frame mode)."""
+    import jax.numpy as jnp
+
+    from tpuao.parallel.sharding import (
+        _temporal_sharded_jit,
+        make_mesh,
+    )
+
+    mesh = make_mesh(8)
+    depths = jnp.asarray(_fleet_depths(8, 2, 48, 64))
+    fn = _temporal_sharded_jit(mesh, False, False, "jnp", 48 * 64,
+                               "float32")
+    hlo = fn.lower(depths, None, None, JCAM, AOParams(),
+                   TemporalParams()).compile().as_text()
+    for coll in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert coll not in hlo, f"unexpected collective {coll} in fleet"

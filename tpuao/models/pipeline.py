@@ -386,9 +386,13 @@ def render_frame_temporal(depth, state=None, camera=None, params=None,
 
 
 def _sequence_scan_core(depths, motions, normals, camera, params, tparams,
-                        impl: str, out_dtype: str):
+                        impl: str, out_dtype: str, init=None):
+    """``init`` overrides the null history -- used by the view-sharded
+    fleet driver, where the scan carry must be ``pcast`` to the mesh
+    axis's varying type (shard_map rejects an invariant carry)."""
     h0, w0 = depths.shape[-2:]
-    init = T.initial_state(h0, w0)
+    if init is None:
+        init = T.initial_state(h0, w0)
 
     def step(carry, xs):
         depth, motion, nrm = xs

@@ -279,3 +279,114 @@ def sharded_views_fn(camera, params, mesh: Mesh, with_normals: bool = False,
         return sm(depths, normals, None, camera, params)
 
     return fn
+
+
+# ---------------------------------------------------------------------------
+# Fleet temporal accumulation: V independent sequences, view-sharded
+# ---------------------------------------------------------------------------
+
+
+def render_sequences_temporal_sharded(depths, camera=None, params=None,
+                                      tparams=None, motions=None,
+                                      normals=None, mesh: Mesh | None = None,
+                                      impl: str = "auto",
+                                      out_dtype: str = "float32"):
+    """V independent temporal sequences sharded over the view axis.
+
+    The fleet-serving shape of the temporal mode (spec:
+    ``golden/temporal.py``): ``depths`` is (V, T, H, W) -- V cameras each
+    streaming a T-frame sequence.  Each chip runs the whole-sequence
+    ``lax.scan`` program (``render_sequence_temporal``'s core: pipeline +
+    reprojection resolve fused per frame, history carried on-device) over
+    its local views, so the entire fleet's T*V frames execute in ONE
+    launch with zero host round-trips AND zero collectives -- sequences
+    are temporally dependent *within* a view but embarrassingly parallel
+    *across* views, exactly the sharding/scan split.
+
+    ``motions`` is None (static cameras) or (V, T, 4, 4) per-view eye
+    transforms (``motions[v, t]`` maps view v's frame t to its frame
+    t-1); ``normals`` is optional (V, T, H, W, 3).  An uneven view count
+    pads by replicating the last sequence and crops after (the cropped
+    result may come back replicated -- the same inexpressible-uneven-
+    sharding caveat as ``render_views_sharded``).  Returns the
+    (V, T, H, W) resolved stack, view-sharded when V divides the mesh.
+    """
+    from tpuao.params import TemporalParams
+
+    camera = camera or CameraParams()
+    params = params or AOParams()
+    tparams = tparams or TemporalParams()
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    depths = jnp.asarray(depths, jnp.float32)
+    if depths.ndim != 4:
+        raise ValueError(f"depths must be (V, T, H, W), got {depths.shape}")
+    v, t = depths.shape[:2]
+    if motions is not None:
+        motions = jnp.asarray(motions, jnp.float32)
+        if motions.shape != (v, t, 4, 4):
+            raise ValueError(f"motions must be ({v}, {t}, 4, 4), "
+                             f"got {motions.shape}")
+    if normals is not None:
+        normals = jnp.asarray(normals, jnp.float32)
+
+    if v % n_dev:
+        pad = -(-v // n_dev) * n_dev - v
+
+        def pad_views(x):
+            reps = (pad,) + (1,) * (x.ndim - 1)
+            return jnp.concatenate([x, jnp.tile(x[-1:], reps)], axis=0)
+
+        out = render_sequences_temporal_sharded(
+            pad_views(depths), camera, params, tparams,
+            motions=None if motions is None else pad_views(motions),
+            normals=None if normals is None else pad_views(normals),
+            mesh=mesh, impl=impl, out_dtype=out_dtype)
+        from tpuao.parallel.spatial import crop_rows_sharded
+
+        return crop_rows_sharded(out, v, mesh,
+                                 P(VIEW_AXIS, *([None] * (out.ndim - 1))),
+                                 axis=0)
+
+    put = lambda x, nd: (None if x is None else jax.device_put(
+        x, NamedSharding(mesh, P(VIEW_AXIS, *([None] * (nd - 1))))))
+    depths = put(depths, 4)
+    motions = put(motions, 4)
+    normals = put(normals, 5)
+    local_px = depths.shape[-2] * depths.shape[-1]
+    return _temporal_sharded_jit(
+        mesh, motions is not None, normals is not None, impl, local_px,
+        out_dtype)(depths, motions, normals, camera, params, tparams)
+
+
+@functools.lru_cache(maxsize=None)
+def _temporal_sharded_jit(mesh: Mesh, with_motions: bool, with_normals: bool,
+                          impl: str, local_px: int, out_dtype: str):
+    from tpuao.models.pipeline import _sequence_scan_core
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    def per_chip(d, mot, nrm, camera, params, tparams):
+        # scan of the whole-sequence program over the chip's local views;
+        # the T-scan's null-history carry must be cast to the view axis's
+        # varying type (shard_map rejects a device-invariant scan carry)
+        from tpuao.ops.temporal import initial_state
+
+        init = jax.lax.pcast(initial_state(*d.shape[-2:]), (VIEW_AXIS,),
+                             to="varying")
+        return scan_optional(
+            lambda d_, m_, n_: _sequence_scan_core(
+                d_, m_, n_, camera, params, tparams, impl, out_dtype,
+                init=init),
+            (d, mot, nrm))
+
+    sm = jax.shard_map(
+        per_chip, mesh=mesh,
+        in_specs=(P(VIEW_AXIS, None, None, None),
+                  P(VIEW_AXIS, None, None, None) if with_motions else P(),
+                  (P(VIEW_AXIS, None, None, None, None)
+                   if with_normals else P()),
+                  P(), P(), P()),
+        out_specs=P(VIEW_AXIS, None, None, None),
+    )
+    return jax.jit(sm, compiler_options=tpu_compiler_options(local_px,
+                                                             with_normals))
