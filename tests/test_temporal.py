@@ -546,3 +546,81 @@ def test_sharded_sequences_program_has_no_collectives():
     for coll in ("all-reduce", "all-gather", "collective-permute",
                  "all-to-all", "reduce-scatter"):
         assert coll not in hlo, f"unexpected collective {coll} in fleet"
+
+
+# ---------------------------------------------------------------------------
+# Pallas windowed resolve (pallas_kernels.windowed_resolve)
+# ---------------------------------------------------------------------------
+
+
+def test_pallas_windowed_resolve_matches_xla():
+    """The VMEM-tile kernel is bit-compatible with the XLA row-scan form
+    (same tent-sum formulation; interpret mode on the CPU backend)."""
+    import jax.numpy as jnp
+
+    from tpuao.ops import temporal as T
+    from tpuao.ops.pallas_kernels import windowed_resolve
+
+    h, w, r = 96, 128, 3
+    ao = smooth_field(h, w, seed=3).astype(np.float32)
+    d = smooth_depth(h, w, seed=4).astype(np.float32)
+    rng = np.random.default_rng(5)
+    ip = (np.mgrid[0:h, 0:w][0] +
+          rng.uniform(-r, r, (h, w))).astype(np.float32)
+    jp = (np.mgrid[0:h, 0:w][1] +
+          rng.uniform(-r, r, (h, w))).astype(np.float32)
+    want = T._bilinear_windowed2(jnp.asarray(ao), jnp.asarray(d),
+                                 jnp.asarray(ip), jnp.asarray(jp), r)
+    got = windowed_resolve(jnp.asarray(ao), jnp.asarray(d),
+                           jnp.asarray(ip), jnp.asarray(jp), r)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               atol=1e-5)
+
+
+def test_pallas_windowed_resolve_row_tiling():
+    """Row tiles that do not divide H exercise the pad+crop grid path."""
+    import jax.numpy as jnp
+
+    from tpuao.ops import temporal as T
+    from tpuao.ops.pallas_kernels import windowed_resolve
+
+    h, w, r = 70, 64, 2
+    ao = smooth_field(h, w, seed=6).astype(np.float32)
+    d = smooth_depth(h, w, seed=7).astype(np.float32)
+    ip = (np.mgrid[0:h, 0:w][0] + 0.4).astype(np.float32)
+    jp = (np.mgrid[0:h, 0:w][1] - 1.3).astype(np.float32)
+    want = T._bilinear_windowed2(jnp.asarray(ao), jnp.asarray(d),
+                                 jnp.asarray(ip), jnp.asarray(jp), r)
+    got = windowed_resolve(jnp.asarray(ao), jnp.asarray(d),
+                           jnp.asarray(ip), jnp.asarray(jp), r,
+                           row_tile=32)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(want[0]),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(want[1]),
+                               atol=1e-5)
+
+
+def test_temporal_resolve_impl_pallas_parity():
+    """temporal_resolve(impl='pallas') == impl='auto' for a moving camera
+    (full resolve: validity, confidence, neighborhood clamp)."""
+    import jax.numpy as jnp
+
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 80, 96
+    curr_ao = smooth_field(h, w, seed=8).astype(np.float32)
+    curr_d = smooth_depth(h, w, seed=9).astype(np.float32)
+    prev_ao = smooth_field(h, w, seed=10).astype(np.float32)
+    prev_d = curr_d + 0.002
+    tp = TemporalParams(history_weight=0.85, max_displacement=3)
+    mot = translation(tx=0.05, ty=-0.02)
+    args = [jnp.asarray(a) for a in (curr_ao, curr_d, prev_ao, prev_d)]
+    want = temporal_resolve(*args, JCAM, tp,
+                            motion=jnp.asarray(mot, jnp.float32))
+    got = temporal_resolve(*args, JCAM, tp,
+                           motion=jnp.asarray(mot, jnp.float32),
+                           impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)

@@ -333,7 +333,7 @@ def _temporal_frame_core(depth, prev_ao, prev_depth, motion, camera, params,
     ao, dbg = ao_pipeline(depth, camera, params, normals, impl=impl)
     linz = dbg["linear_z"][..., :h0, :w0]
     resolved = T.temporal_resolve(ao, linz, prev_ao, prev_depth, camera,
-                                  tparams, motion)
+                                  tparams, motion, impl=impl)
     out = resolved if color is None else C.composite(color, resolved)
     return _quantize(out, out_dtype), (resolved, linz)
 

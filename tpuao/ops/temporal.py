@@ -180,13 +180,17 @@ def _bilinear_windowed2(ao, d, ip, jp, r: int):
 
 
 def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
-                     tparams, motion=None):
+                     tparams, motion=None, impl: str = "auto"):
     """One temporal resolve step (spec: golden/temporal.py).
 
     All fields (H, W) f32; depths are normalized linear eye depth.  Returns
     the resolved AO; the caller's next history state is
     ``(resolved, curr_depth)``.  ``motion`` is a traced (4, 4) current->
     previous eye transform, or None for the gather-free static-camera path.
+    ``impl="pallas"`` routes the windowed history resample through the
+    VMEM-tile kernel (``pallas_kernels.windowed_resolve``, bit-compatible);
+    every other value uses the XLA row-offset-scan form (the measured
+    in-pipeline default, docs/PERF.md).
     """
     curr_ao = curr_ao.astype(jnp.float32)
     curr_depth = curr_depth.astype(jnp.float32)
@@ -204,6 +208,11 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
         r = tparams.max_displacement
         if r is None:
             hist, d_hist = _bilinear_gather2(prev_ao, prev_depth, ip, jp)
+        elif impl == "pallas":
+            from tpuao.ops.pallas_kernels import windowed_resolve
+
+            hist, d_hist = windowed_resolve(prev_ao, prev_depth, ip, jp,
+                                            int(r))
         else:
             hist, d_hist = _bilinear_windowed2(prev_ao, prev_depth, ip, jp,
                                                int(r))
