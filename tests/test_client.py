@@ -313,3 +313,59 @@ def test_cli_remote_sequence(base, scene, tmp_path, capsys):
         assert ao.shape == z.shape and 0.0 <= ao.min() <= ao.max() <= 1.0
     # frames differ, so outputs must differ (order preserved, no dup)
     assert np.abs(aos[0] - aos[2]).max() > 0
+
+
+def test_temporal_session_roundtrip(base, scene):
+    """Client session handle == a local TemporalAOEngine fed the same
+    frames+views; context-manager exit DELETEs the server history."""
+    from tpuao.models.pipeline import TemporalAOEngine
+    from tpuao.params import CameraParams
+    from tpuao.utils import fixtures as F
+
+    c = AOClient(base)
+    frames = [F.spheres_on_plane(64, 96, n_spheres=2, seed=s
+                                 ).astype(np.float32) for s in (4, 5, 6)]
+    eng = TemporalAOEngine(CameraParams(depth_mode="linear"))
+    with c.session("cli-stream") as ses:
+        for k, z in enumerate(frames):
+            v = np.eye(4)
+            v[0, 3] = 0.03 * k
+            got = ses.render(z, view=v)
+            want = np.asarray(eng.render(z, view=v))
+            np.testing.assert_allclose(got, want, atol=1e-6)
+        # reset() rides the next frame
+        ses.reset()
+        got = ses.render(frames[0])
+        eng.reset()
+        want = np.asarray(eng.render(frames[0]))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+        assert c.stats()["sessions"] >= 1
+    # context exit closed it server-side: a DELETE now finds nothing
+    import urllib.error
+    import urllib.request
+
+    try:
+        urllib.request.urlopen(urllib.request.Request(
+            f"{base}/session/cli-stream", method="DELETE"))
+        assert False, "expected 404 after close()"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+    with pytest.raises(ValueError):
+        ses.render(frames[0])  # closed handle fails fast
+
+
+def test_temporal_session_validation_no_round_trip(base, server, scene):
+    """Session-side validation fails fast without touching the server."""
+    c = AOClient(base)
+    ses = c.session()
+    before = server.stats["requests"]
+    z = np.full((32, 32), 0.5, np.float32)
+    with pytest.raises(ValueError):
+        ses.render(z, view=np.eye(3))  # wrong matrix shape
+    with pytest.raises(ValueError):
+        ses.render(z, view=np.eye(4), motion=np.eye(4))  # both
+    with pytest.raises(ValueError):
+        ses.render(z, history_weight=2.0)  # outside range
+    with pytest.raises(ValueError):
+        ses.render(z, nonsense=1.0)
+    assert server.stats["requests"] == before

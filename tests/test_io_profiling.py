@@ -631,3 +631,153 @@ def test_calibrate_script():
         env=env, capture_output=True, text=True, timeout=600)
     assert r.returncode == 0, r.stderr[-2000:]
     assert "strength" in r.stdout
+
+
+def test_serve_temporal_session():
+    """Stateful temporal sessions: the server carries per-session history
+    and resolves each posted frame against it (matching a local
+    TemporalAOEngine fed the same frames+views); reset, session guard
+    rails, DELETE, and /stats accounting."""
+    import json
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    import serve as S
+
+    from tpuao.models.pipeline import TemporalAOEngine
+    from tpuao.params import CameraParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        h, w = 80, 96
+        frames = [F.spheres_on_plane(h, w, n_spheres=2, seed=s
+                                     ).astype(np.float32)
+                  for s in (1, 2, 3)]
+        views = []
+        for k in range(3):
+            v = np.eye(4)
+            v[0, 3] = 0.03 * k  # camera slides between frames
+            views.append(v)
+
+        def post(qs, z):
+            req = urllib.request.Request(f"{base}/ao?{qs}",
+                                         data=dumps_pfm(z))
+            return loads_pfm(urllib.request.urlopen(req).read())
+
+        eng = TemporalAOEngine(CameraParams(depth_mode="linear"))
+        for k, (z, v) in enumerate(zip(frames, views)):
+            vq = ",".join(repr(float(x)) for x in v.ravel())
+            got = post(f"session=stream1&view={vq}", z)
+            want = np.asarray(eng.render(z, view=v))
+            np.testing.assert_allclose(got, want, atol=1e-6), k
+
+        # reset drops history: the same frame resolves to its own
+        # single-frame AO again (== a fresh local engine's frame 0)
+        got = post("session=stream1&reset=1", frames[0])
+        eng2 = TemporalAOEngine(CameraParams(depth_mode="linear"))
+        np.testing.assert_allclose(got, np.asarray(eng2.render(frames[0])),
+                                   atol=1e-6)
+
+        # temporal tunables ride per-request
+        got = post("session=stream1&history_weight=0.5", frames[1])
+        eng2.history_weight = 0.5
+        np.testing.assert_allclose(got, np.asarray(eng2.render(frames[1])),
+                                   atol=1e-6)
+
+        # guard rails: all 400s
+        for qs, z in (
+                ("view=1,0,0,0", frames[0]),          # view needs session
+                ("reset=1", frames[0]),               # reset needs session
+                ("history_weight=0.5", frames[0]),    # tparams need session
+                ("session=bad/chars", frames[0]),     # id charset
+                ("session=s2&view=1,2,3", frames[0]),  # not 16 floats
+                ("session=s2&view=" + ",".join(["0"] * 16)
+                 + "&motion=" + ",".join(["0"] * 16), frames[0]),
+        ):
+            try:
+                post(qs, z)
+                assert False, f"expected 400 for {qs}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, qs
+
+        # camera overrides bind at creation, are rejected mid-stream
+        got = post("session=s3&fov=80", frames[0])
+        import math
+
+        eng3 = TemporalAOEngine(CameraParams(
+            depth_mode="linear",
+            tan_half_fov_h=math.tan(math.radians(80.0) / 2)))
+        np.testing.assert_allclose(got, np.asarray(eng3.render(frames[0])),
+                                   atol=1e-6)
+        try:
+            post("session=s3&fov=60", frames[1])
+            assert False, "expected 400 for mid-stream camera change"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["sessions"] == 2  # stream1 + s3
+        # routing is counted before the render (like direct/batched), so
+        # the mid-stream camera 400 above counts as temporal but not ok
+        assert stats["temporal"] == stats["ok"] + 1
+
+        # DELETE drops the session; a second DELETE 404s
+        req = urllib.request.Request(f"{base}/session/stream1",
+                                     method="DELETE")
+        assert urllib.request.urlopen(req).status == 200
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/session/stream1", method="DELETE"))
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        stats = json.loads(urllib.request.urlopen(f"{base}/stats").read())
+        assert stats["sessions"] == 1
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_temporal_session_ttl_eviction():
+    """Idle sessions are evicted on the next session request (history is
+    device HBM; abandoned streams must not park it forever)."""
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    import serve as S
+
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm
+
+    srv = S.make_server(0)
+    srv.session_ttl = 0.05
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z = F.spheres_on_plane(48, 64, n_spheres=2, seed=4
+                               ).astype(np.float32)
+
+        def post(qs):
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/ao?{qs}", data=dumps_pfm(z))).read()
+
+        post("session=a")
+        assert "a" in srv.sessions
+        import time as _time
+
+        _time.sleep(0.1)
+        post("session=b")  # the sweep runs on session requests
+        assert "a" not in srv.sessions and "b" in srv.sessions
+    finally:
+        srv.shutdown()
+        srv.server_close()

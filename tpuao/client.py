@@ -167,10 +167,14 @@ class AOClient:
                 q["buffers"] = "depth,color"
         if out != "pfm":
             q["out"] = out
-        qs = ("?" + urllib.parse.urlencode(q)) if q else ""
         body = b"".join(dumps_pfm(f) for f in frames)
+        payload = self._post_ao(q, body, self.retries)
+        return payload if out == "png" else loads_pfm(payload)
+
+    def _post_ao(self, q: dict, body: bytes, retries: int) -> bytes:
         import http.client
 
+        qs = ("?" + urllib.parse.urlencode(q)) if q else ""
         attempt = 0
         while True:
             req = urllib.request.Request(f"{self.base_url}/ao{qs}",
@@ -178,8 +182,7 @@ class AOClient:
             try:
                 with urllib.request.urlopen(req,
                                             timeout=self.timeout) as r:
-                    payload = r.read()
-                break
+                    return r.read()
             except urllib.error.HTTPError as e:
                 msg = e.read().decode(errors="replace")
                 if e.code == 400:  # caller error; the message says why
@@ -188,13 +191,13 @@ class AOClient:
                 raise RuntimeError(
                     f"server error HTTP {e.code}: {msg}") from None
             except (OSError, http.client.HTTPException):
-                # transport fault (refused/reset/mid-restart): renders
-                # are pure, re-sending is safe
-                if attempt >= self.retries:
+                # transport fault (refused/reset/mid-restart): stateless
+                # renders are pure, re-sending is safe (sessions pass
+                # retries=0 -- see TemporalSession)
+                if attempt >= retries:
                     raise
                 attempt += 1
                 time.sleep(self.backoff_s * attempt)
-        return payload if out == "png" else loads_pfm(payload)
 
 
     def render_many(self, depths, *, normals=None, color=None,
@@ -234,6 +237,127 @@ class AOClient:
             futs = [pool.submit(self.render, d, normals=n, color=c, **kw)
                     for d, n, c in zip(depths, nrms, cols)]
             return [f.result() for f in futs]
+
+
+    # -- temporal sessions ---------------------------------------------------
+
+    def session(self, session_id: str | None = None,
+                **camera_overrides) -> "TemporalSession":
+        """Open a handle on a server temporal session (``?session=``).
+
+        ``camera_overrides`` (``near``/``far``/``fov``) bind at session
+        creation -- the server rejects camera changes mid-stream (the
+        reprojection assumes one camera per sequence).  Use as a context
+        manager to DELETE the server-side history on exit."""
+        import uuid
+
+        return TemporalSession(self, session_id or uuid.uuid4().hex,
+                               camera_overrides)
+
+
+class TemporalSession:
+    """One temporally-accumulated stream against a server session.
+
+    The server keeps this stream's ``(ao, depth)`` history device-side;
+    each ``render`` resolves the new frame against it.  Pass ``view=``
+    (this frame's 4x4 world->eye matrix) or ``motion=`` (the current->
+    previous eye transform) for a moving camera; omit both when static.
+
+    Transport-level retries are DISABLED for session frames: a re-send
+    after a lost response would advance the server's history twice
+    (stateless renders are pure; temporal frames are not).  On a
+    transport fault, call ``reset()`` and re-stream from a key frame.
+    """
+
+    def __init__(self, client: AOClient, session_id: str, cam: dict):
+        self.client = client
+        self.id = session_id
+        self._pending = dict(cam)  # camera binds on the first frame
+        self._pending_reset = False
+        self._closed = False
+
+    def render(self, depth, normals=None, color=None, *, view=None,
+               motion=None, reset: bool = False, out: str = "pfm",
+               **tunables):
+        if self._closed:
+            raise ValueError(f"session {self.id} is closed")
+        if view is not None and motion is not None:
+            raise ValueError("pass view= or motion=, not both")
+        if out not in ("pfm", "png"):
+            raise ValueError(f"out must be 'pfm' or 'png', got {out!r}")
+        q = {"session": self.id}
+        if reset or self._pending_reset:
+            q["reset"] = "1"
+        for key, mat in (("view", view), ("motion", motion)):
+            if mat is not None:
+                mat = np.asarray(mat, np.float64)
+                if mat.shape != (4, 4):
+                    raise ValueError(f"{key} must be (4, 4), "
+                                     f"got {mat.shape}")
+                q[key] = ",".join(repr(float(x)) for x in mat.ravel())
+        from tpuao.params import TEMPORAL_PARAM_RANGES
+
+        for k, v in tunables.items():
+            ranges = (TEMPORAL_PARAM_RANGES if k in TEMPORAL_PARAM_RANGES
+                      else PARAM_RANGES if k in PARAM_RANGES else None)
+            if ranges is None:
+                raise ValueError(
+                    f"unknown override {k!r}: tunables are "
+                    f"{sorted(PARAM_RANGES)} + {sorted(TEMPORAL_PARAM_RANGES)}")
+            lo, hi = ranges[k]
+            v = float(v)
+            if not lo <= v <= hi:
+                raise ValueError(f"{k}={v} outside [{lo}, {hi}]")
+            q[k] = repr(v)
+        if self._pending:
+            for k, v in self._pending.items():
+                if k not in _CAMERA_KEYS:
+                    raise ValueError(f"unknown camera override {k!r}")
+                q[k] = repr(float(v))
+        depth = np.asarray(depth, np.float32)
+        if depth.ndim != 2:
+            raise ValueError(f"depth must be (H, W), got {depth.shape}")
+        frames = [depth]
+        if normals is not None:
+            frames.append(np.asarray(normals, np.float32))
+        if color is not None:
+            frames.append(np.asarray(color, np.float32))
+            if normals is None:
+                q["buffers"] = "depth,color"
+        if out != "pfm":
+            q["out"] = out
+        body = b"".join(dumps_pfm(f) for f in frames)
+        payload = self.client._post_ao(q, body, retries=0)
+        self._pending = {}  # camera bound server-side on success
+        self._pending_reset = False
+        return payload if out == "png" else loads_pfm(payload)
+
+    def reset(self):
+        """Mark the next frame as a scene cut (rides ``?reset=1``)."""
+        self._pending_reset = True
+
+    def close(self):
+        """DELETE the server-side history (idempotent)."""
+        if self._closed:
+            return
+        self._closed = True
+        req = urllib.request.Request(
+            f"{self.client.base_url}/session/{self.id}", method="DELETE")
+        try:
+            with urllib.request.urlopen(req,
+                                        timeout=self.client.timeout):
+                pass
+        except urllib.error.HTTPError as e:
+            if e.code != 404:  # never-rendered sessions have no state
+                raise RuntimeError(
+                    f"server error HTTP {e.code} closing session"
+                ) from None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
 
 
 def request_ao(url: str, depth, normals=None, color=None, *,

@@ -26,6 +26,24 @@ API (stdlib HTTP, threaded):
   Normals requests flip the STATIC ``use_normals`` program knob, so the
   first one per frame shape compiles a new program (cached after); the
   tunables/camera params stay traced scalars and never recompile.
+
+      ?session=<id>   TEMPORAL session: the server keeps this stream's
+                      ``(ao, depth)`` history device-side and resolves
+                      each frame against it (reprojection accumulation,
+                      spec golden/temporal.py).  Per-frame camera motion
+                      rides ``?view=`` (16 comma-separated floats: this
+                      frame's world->eye matrix; the server derives the
+                      relative motion) or ``?motion=`` (the current->
+                      previous eye transform directly); omit both for a
+                      static camera.  ``?reset=1`` drops history (scene
+                      cut).  ``history_weight=``/``depth_tolerance=``
+                      ride as traced scalars.  Camera overrides bind at
+                      session creation and are rejected mid-stream (the
+                      reprojection assumes one camera per sequence).
+                      Sessions are stateful, so they always render on
+                      the direct path (never batched); idle sessions
+                      are evicted after ``session_ttl`` seconds.
+  DELETE /session/<id>  drop a session's history explicitly
   GET  /config        the engine's current AOParams/CameraParams JSON
   GET  /healthz       200 once a frame has rendered (readiness gate:
                       the first compile takes tens of seconds on a
@@ -40,6 +58,7 @@ API (stdlib HTTP, threaded):
 from __future__ import annotations
 
 import json
+import re
 import threading
 import time
 from collections import deque
@@ -49,9 +68,27 @@ from urllib.parse import parse_qsl, urlparse
 import numpy as np
 
 from tpuao.models.pipeline import AmbientOcclusionEngine, render_frame
-from tpuao.params import PARAM_RANGES, CameraParams, params_to_dict
+from tpuao.params import (
+    PARAM_RANGES,
+    TEMPORAL_PARAM_RANGES,
+    CameraParams,
+    params_to_dict,
+)
 from tpuao.utils.frameio import dumps_pfm, loads_pfm_multi
 from tpuao.utils.resilience import retry_transient
+
+
+def _apply_camera_overrides(camera, cam_over):
+    """Validated per-request camera: ``fov`` (degrees) converts to
+    ``tan_half_fov_h``; the result is range-checked like the tunables."""
+    import math
+
+    fov = cam_over.pop("fov", None)
+    if fov is not None:
+        if not 0 < fov < 180:
+            raise ValueError(f"fov={fov} outside (0, 180)")
+        cam_over["tan_half_fov_h"] = math.tan(math.radians(fov) / 2)
+    return camera.replace(**cam_over).validate()
 
 
 class AOHandler(BaseHTTPRequestHandler):
@@ -86,6 +123,7 @@ class AOHandler(BaseHTTPRequestHandler):
                     "p95": round(lat[int(len(lat) * 0.95)
                                      if len(lat) > 1 else 0], 2),
                     "max": round(lat[-1], 2)}
+            stats["sessions"] = len(srv.sessions)
             if srv.batcher is not None:
                 stats["batcher"] = srv.batcher.stats()
             self._send(200, json.dumps(stats, indent=2).encode(),
@@ -103,6 +141,81 @@ class AOHandler(BaseHTTPRequestHandler):
         with self.server.stats_lock:
             self.server.stats[key] += 1
 
+    def do_DELETE(self):
+        path = urlparse(self.path).path
+        m = re.fullmatch(r"/session/([A-Za-z0-9_.-]{1,64})", path)
+        if not m:
+            self._send(404, b"not found", "text/plain")
+            return
+        with self.server.lock:
+            dropped = self.server.sessions.pop(m.group(1), None)
+        if dropped is None:
+            self._send(404, b"no such session", "text/plain")
+        else:
+            self._send(200, b"session dropped", "text/plain")
+
+    def _render_session(self, sid, depth, normals, color, mat, is_view,
+                        reset, tunables, t_tunables, cam_over):
+        """One temporal-session frame (under the server render lock).
+
+        A retry attempt restores the session's pre-frame history first:
+        ``TemporalAOEngine.render`` advances ``_prev_view`` before the
+        device render, so a transient fault mid-frame would otherwise
+        make the retry derive an identity motion from the half-updated
+        state."""
+        from tpuao.models.pipeline import TemporalAOEngine
+
+        srv = self.server
+        now = time.monotonic()
+        with srv.lock:
+            # evict idle sessions (device-side history is ~2 full-res
+            # f32 planes per session -- an abandoned 4K stream parks
+            # 66 MB of HBM)
+            dead = [k for k, s in srv.sessions.items()
+                    if now - s["last"] > srv.session_ttl]
+            for k in dead:
+                del srv.sessions[k]
+            ses = srv.sessions.get(sid)
+            if ses is None:
+                if len(srv.sessions) >= srv.max_sessions:
+                    raise ValueError(
+                        f"session table full ({srv.max_sessions}); "
+                        "DELETE /session/<id> or wait for TTL eviction")
+                camera = srv.engine.camera
+                if cam_over:
+                    camera = _apply_camera_overrides(camera, dict(cam_over))
+                ses = {"engine": TemporalAOEngine(
+                           camera, srv.engine.params,
+                           impl=srv.engine.impl,
+                           out_dtype=srv.engine.out_dtype),
+                       "last": now}
+                srv.sessions[sid] = ses
+            elif cam_over:
+                raise ValueError(
+                    "camera is fixed per session (reprojection assumes "
+                    "one camera per sequence); open a new session= or "
+                    "reset=1 after DELETE")
+            ses["last"] = now
+            engine = ses["engine"]
+            if reset:
+                engine.reset()
+            if tunables:
+                engine.params = engine.params.replace(**tunables)
+            if normals is not None and not engine.params.use_normals:
+                engine.params = engine.params.replace(use_normals=True)
+            if t_tunables:
+                engine.tparams = engine.tparams.replace(**t_tunables)
+            saved = (engine._state, engine._prev_view)
+
+            def attempt():
+                engine._state, engine._prev_view = saved
+                return np.asarray(engine.render(
+                    depth, normals=normals, color=color,
+                    motion=None if (mat is None or is_view) else mat,
+                    view=mat if (mat is not None and is_view) else None))
+
+            return retry_transient(attempt)()
+
     def do_POST(self):
         url = urlparse(self.path)
         if url.path != "/ao":
@@ -118,13 +231,38 @@ class AOHandler(BaseHTTPRequestHandler):
                 # full device render just to 400 (review r3)
                 raise ValueError(f"unknown out={out_fmt}")
             buf_names = q.pop("buffers", None)
+            sid = q.pop("session", None)
+            reset = q.pop("reset", "0") not in ("0", "", "false")
+            view_s = q.pop("view", None)
+            motion_s = q.pop("motion", None)
             tunables = {k: float(v) for k, v in q.items()
                         if k in PARAM_RANGES}
+            t_tunables = {k: float(v) for k, v in q.items()
+                          if k in TEMPORAL_PARAM_RANGES}
             cam_over = {k: float(q[k]) for k in ("near", "far", "fov")
                         if k in q}
-            unknown = set(q) - set(tunables) - set(cam_over)
+            unknown = (set(q) - set(tunables) - set(t_tunables)
+                       - set(cam_over))
             if unknown:
                 raise ValueError(f"unknown query params: {sorted(unknown)}")
+            if sid is None and (reset or view_s is not None
+                                or motion_s is not None or t_tunables):
+                raise ValueError(
+                    "reset/view/motion/temporal tunables need session=")
+            if sid is not None and not re.fullmatch(
+                    r"[A-Za-z0-9_.-]{1,64}", sid):
+                raise ValueError(
+                    "session= must match [A-Za-z0-9_.-]{1,64}")
+            if view_s is not None and motion_s is not None:
+                raise ValueError("pass view= or motion=, not both")
+            mat = None
+            if view_s is not None or motion_s is not None:
+                vals = [float(x) for x in
+                        (view_s or motion_s).split(",")]
+                if len(vals) != 16:
+                    raise ValueError("view=/motion= must be 16 comma-"
+                                     f"separated floats, got {len(vals)}")
+                mat = np.asarray(vals, np.float64).reshape(4, 4)
             n = int(self.headers.get("Content-Length", "0"))
             if not 0 < n <= self.server.max_body:
                 raise ValueError(
@@ -163,8 +301,15 @@ class AOHandler(BaseHTTPRequestHandler):
             eng = self.server.engine
             direct = bool(tunables or cam_over
                           or self.server.batcher is None)
-            self._count("direct" if direct else "batched")
-            if direct:
+            self._count("temporal" if sid is not None
+                        else "direct" if direct else "batched")
+            if sid is not None:
+                # stateful: always the direct path, never batched
+                ao = self._render_session(
+                    sid, depth, normals, color, mat,
+                    view_s is not None, reset, tunables, t_tunables,
+                    cam_over)
+            elif direct:
                 with self.server.lock:
                     # traced scalars: swapping tunables OR camera
                     # projection per request reuses the cached compiled
@@ -177,18 +322,9 @@ class AOHandler(BaseHTTPRequestHandler):
                         params = params.replace(use_normals=True)
                     camera = eng.camera
                     if cam_over:
-                        import math
-
-                        fov = cam_over.pop("fov", None)
-                        if fov is not None:
-                            if not 0 < fov < 180:
-                                raise ValueError(
-                                    f"fov={fov} outside (0, 180)")
-                            cam_over["tan_half_fov_h"] = math.tan(
-                                math.radians(fov) / 2)
                         # validated like the tunables: ?far=0 must 400,
                         # not render NaN and count as ok (review r3)
-                        camera = camera.replace(**cam_over).validate()
+                        camera = _apply_camera_overrides(camera, cam_over)
                     # retry_transient: the relayed backend's observed
                     # transient faults (HTTP 500 / worker restart) retry
                     # instead of surfacing as client 500s.  The wrapped
@@ -318,7 +454,10 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
     srv.warmed = False  # /healthz turns 200 after the first render
     srv.stats_lock = threading.Lock()
     srv.stats = {"requests": 0, "ok": 0, "errors": 0,
-                 "direct": 0, "batched": 0}
+                 "direct": 0, "batched": 0, "temporal": 0}
+    srv.sessions = {}  # temporal sessions: id -> {engine, last}
+    srv.session_ttl = 600.0  # idle seconds before history is evicted
+    srv.max_sessions = 64
     srv.latencies = deque(maxlen=1024)  # end-to-end ms, ok requests only
     # the largest legal multi-buffer body is an 8K depth + 'PF' normals +
     # 'PF' color request: ~133 + 398 + 398 MB; reject above 1 GiB
