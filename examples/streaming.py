@@ -1,7 +1,8 @@
 #!/usr/bin/env python
 """Streaming demo: PFM frames on disk -> prefetched batches -> AO frames.
 
-    python examples/streaming.py [HxW] [n_frames] [out_dir] [--normals]
+    python examples/streaming.py [HxW] [n_frames] [out_dir]
+                                 [--normals | --temporal]
 
 Simulates a renderer dropping frames as PFM files, then drives the engine
 over them with the native threaded loader one batch ahead of the device
@@ -9,8 +10,11 @@ over them with the native threaded loader one batch ahead of the device
 ``--normals`` each frame is a (depth 'Pf', normals 'PF', color 'PF')
 triple and the engine runs the normal-weighted estimator + on-device
 composite (the full config-3-style streaming pipeline, VERDICT r2
-item 6).  Output: uint8 AO (or composited color) for the last frame as
-PNG.
+item 6).  ``--temporal`` raycasts ONE world scene from a dollying camera
+(fixtures ``eye=``) and drives the stateful ``TemporalAOEngine`` with
+per-frame view matrices -- the reprojection-accumulation streaming
+shape (spec: golden/temporal.py).  Output: uint8 AO (or composited
+color) for the last frame as PNG.
 """
 
 import os
@@ -36,6 +40,9 @@ from tpuao.utils.io import save_ao_image
 def main(argv):
     args = [a for a in argv[1:] if not a.startswith("--")]
     with_normals = "--normals" in argv
+    temporal = "--temporal" in argv
+    if with_normals and temporal:
+        raise SystemExit("pick --normals or --temporal")
     size = args[0] if len(args) > 0 else "360x640"
     n_frames = int(args[1]) if len(args) > 1 else 8
     if n_frames < 1:
@@ -46,6 +53,8 @@ def main(argv):
     os.makedirs(out_dir, exist_ok=True)
 
     cam = CameraParams(depth_mode="linear")
+    if temporal:
+        return _main_temporal(cam, h, w, n_frames, out_dir)
     # "renderer output": PFM file(s) per frame (camera orbits -> seeds)
     yy, xx = np.meshgrid(np.linspace(0.35, 1.0, h),
                          np.linspace(0.55, 1.0, w), indexing="ij")
@@ -88,6 +97,36 @@ def main(argv):
     mode = "depth+normals+composite" if with_normals else "depth"
     print(f"{done} frames at {h}x{w} ({mode}): {dt:.2f}s wall "
           f"({done / dt:.1f} fps incl. decode+transfer), "
+          f"wrote {out_dir}/ao_last.png")
+
+
+def _main_temporal(cam, h, w, n_frames, out_dir):
+    """One world scene, dollying camera, stateful temporal accumulation."""
+    from tpuao.models.pipeline import TemporalAOEngine
+
+    step = 0.05
+    eyes = [(step * i, 0.0, 0.0) for i in range(n_frames)]
+    paths = []
+    for i, e in enumerate(eyes):
+        z = F.spheres_on_plane(h, w, cam, n_spheres=5, seed=100, eye=e)
+        paths.append(save_pfm(f"{out_dir}/frame_{i:04d}.pfm", z))
+
+    def view(e):
+        v = np.eye(4)
+        v[:3, 3] = [-e[0], -e[1], -e[2]]  # world->eye = translation(-eye)
+        return v
+
+    eng = TemporalAOEngine(cam, out_dtype="uint8")
+    t0 = time.perf_counter()
+    # one frame per batch: temporal state is strictly sequential, the
+    # prefetcher still hides the disk decode behind the device render
+    for i, got in enumerate(FramePrefetcher([[p] for p in paths], depth=2)):
+        out = np.asarray(eng.render(got[0], view=view(eyes[i])))
+    dt = time.perf_counter() - t0
+    save_ao_image(out.astype(np.float32) / 255.0, f"{out_dir}/ao_last.png")
+    print(f"{n_frames} frames at {h}x{w} (temporal dolly, "
+          f"history_weight={float(np.asarray(eng.tparams.history_weight)):.2f}): "
+          f"{dt:.2f}s wall ({n_frames / dt:.1f} fps incl. decode+transfer), "
           f"wrote {out_dir}/ao_last.png")
 
 

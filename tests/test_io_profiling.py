@@ -119,6 +119,25 @@ def test_streaming_script_normals(tmp_path):
     assert "depth+normals+composite" in r.stdout
 
 
+@pytest.mark.slow
+def test_streaming_script_temporal(tmp_path):
+    """--temporal mode: one world scene from a dollying eye through the
+    stateful TemporalAOEngine (view-matrix motion derivation)."""
+    import subprocess
+    import sys
+    import os
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, "examples/streaming.py", "96x128", "3",
+         str(tmp_path), "--temporal"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env, capture_output=True, text=True, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "ao_last.png").exists()
+    assert "temporal dolly" in r.stdout
+
+
 def test_serve_endpoint():
     """In-process round-trip through the serving endpoint: PFM depth in,
     PFM AO out; per-request tunables; config introspection."""

@@ -624,3 +624,56 @@ def test_temporal_resolve_impl_pallas_parity():
                            impl="pallas")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Moving-camera end-to-end (fixtures eye= + derived view-matrix motion)
+# ---------------------------------------------------------------------------
+
+
+def test_fixture_eye_zero_is_identity():
+    a = F.spheres_on_plane(48, 64, n_spheres=3, seed=2)
+    b = F.spheres_on_plane(48, 64, n_spheres=3, seed=2, eye=(0.0, 0.0, 0.0))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_dolly_sequence_reprojection_aligns_history():
+    """A static world raycast from a dollying eye: with the CORRECT
+    per-frame motion matrices the reprojected history agrees with the
+    current frame's AO (small resolved-vs-current residual); feeding the
+    same sequence an identity motion (wrong) must misalign history and
+    leave a strictly larger residual.  End-to-end over fixtures ``eye=``,
+    ``utils.camera.relative_motion``, and the windowed resolve."""
+    from tpuao.models.pipeline import render_frame_temporal, render_frame
+    from tpuao.utils.camera import relative_motion
+
+    h, w, t_n = 96, 128, 4
+    step = 0.08
+    eyes = [(step * t, 0.0, 0.0) for t in range(t_n)]
+    depths = [F.spheres_on_plane(h, w, n_spheres=4, seed=5, eye=e
+                                 ).astype(np.float32) for e in eyes]
+
+    def views(e):
+        v = np.eye(4)
+        v[0, 3], v[1, 3], v[2, 3] = -e[0], -e[1], -e[2]
+        return v
+
+    tp = TemporalParams(history_weight=0.9, neighborhood_clamp=False)
+
+    def run(correct_motion: bool):
+        st, resid = None, []
+        for t in range(t_n):
+            motion = None
+            if t > 0 and correct_motion:
+                motion = relative_motion(views(eyes[t - 1]), views(eyes[t]))
+            out, st = render_frame_temporal(
+                depths[t], st, JCAM, AOParams(), tp, motion=motion)
+            if t > 0:
+                cur = np.asarray(render_frame(depths[t], JCAM, AOParams()))
+                resid.append(np.abs(np.asarray(out) - cur).mean())
+        return np.mean(resid)
+
+    aligned = run(True)
+    misaligned = run(False)
+    assert aligned < 0.6 * misaligned, (aligned, misaligned)
+    assert aligned < 0.01, aligned  # reprojected history ~agrees

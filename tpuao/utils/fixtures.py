@@ -80,12 +80,21 @@ def spheres_on_plane(
     seed: int = 0,
     with_normals: bool = False,
     backend: str = "auto",
+    eye=None,
 ):
     """Analytic ray-cast of random spheres resting on a ground plane.
 
     Camera at origin looking down +z (view direction), ground plane is
     y = +1.5 (buffer y points down, so the floor is below image center).
     Returns depth (H,W) [and normals (H,W,3) in buffer view space].
+
+    ``eye``: optional world-space camera position (x, y, z) for a
+    translation-only camera path -- the SAME world scene raycast from a
+    moved eye (centers and plane shift by ``-eye``).  The matching
+    world->eye view matrix is ``translation(-eye)``; consecutive eyes
+    give ``relative_motion(V_prev, V_curr) == translation(e_curr -
+    e_prev)`` (utils/camera.py), which is what temporal-sequence demos
+    and tests feed the reprojection resolve.
 
     ``backend``: 'auto' uses the native C++ ray-caster (native/raycast.cpp,
     bit-identical to the NumPy path) when it builds, else NumPy; 'numpy' /
@@ -97,6 +106,10 @@ def spheres_on_plane(
     far = float(np.asarray(camera.far))
     plane_y = 1.5
     centers_arr, radii_arr = sphere_scene_params(n_spheres, seed, plane_y)
+    if eye is not None:
+        ex, ey, ez = (float(v) for v in np.asarray(eye, np.float64))
+        centers_arr = centers_arr - np.asarray([ex, ey, ez])
+        plane_y = plane_y - ey
 
     if backend in ("auto", "native"):
         from tpuao.utils.native import raycast_spheres_native
