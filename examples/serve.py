@@ -46,11 +46,12 @@ def main(argv):
                     help="pre-compile for this frame shape before serving")
     ap.add_argument("--warmup-buffers", metavar="LIST",
                     help="with --warmup: also pre-compile the multi-buffer "
-                    "programs (comma list from {normals,color}; every "
-                    "non-empty combination is warmed, e.g. "
+                    "programs (comma list from {normals,color,temporal}; "
+                    "every non-empty combination is warmed, e.g. "
                     "'normals,color' compiles the normal-weighted, "
                     "composited, and normal-weighted-composited programs "
-                    "-- each is a distinct static shape)")
+                    "-- each is a distinct static shape; 'temporal' adds "
+                    "the ?session= static+moving resolve programs)")
     ap.add_argument("--views", type=int, default=0,
                     help="shard each batch flush over an N-device view "
                     "mesh (fleet serving; implies --batch N)")

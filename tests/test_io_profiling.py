@@ -546,6 +546,11 @@ def test_warm_server_compiles_all_advertised_programs():
             "depth+normals[batch 2]"]
         with pytest.raises(ValueError, match="unknown warmup buffers"):
             S.warm_server(srv, (64, 96), ("normals", "albedo"))
+        # "temporal" adds the ?session= static+moving programs per combo
+        warmed_t = S.warm_server(srv, (64, 96), ("temporal",))
+        assert warmed_t == [
+            "depth", "depth[temporal static+moving]",
+            "depth[batch 1]", "depth[batch 2]"]
     finally:
         srv.batcher.close()
         srv.server_close()

@@ -382,16 +382,21 @@ def warm_server(srv, shape, buffers=()) -> list[str]:
     micro-batcher is configured, the batched program too (a DIFFERENT
     compile -- without it the readiness gate lies and the first real
     request eats the compile; ``use_normals`` flips statically and a
-    present color arg changes the program structure).  Marks the server
-    warm; returns the list of warmed program names.
+    present color arg changes the program structure).  A ``"temporal"``
+    entry additionally warms the ``?session=`` programs (static- and
+    moving-camera temporal resolves) for each combination.  Marks the
+    server warm; returns the list of warmed program names.
     """
     from itertools import combinations
 
     h, w = shape
-    unknown = set(buffers) - {"normals", "color"}
+    buffers = set(buffers)
+    temporal = "temporal" in buffers
+    buffers -= {"temporal"}
+    unknown = buffers - {"normals", "color"}
     if unknown:
         raise ValueError(f"unknown warmup buffers {sorted(unknown)} "
-                         "(choose from normals,color)")
+                         "(choose from normals,color,temporal)")
     zz = np.full((h, w), 0.5, np.float32)
     nrm = np.zeros((h, w, 3), np.float32)
     nrm[..., 2] = 1.0
@@ -412,6 +417,23 @@ def warm_server(srv, shape, buffers=()) -> list[str]:
                                 **kw))
         name = "depth" + ("+" + "+".join(combo) if combo else "")
         warmed.append(name)
+        if temporal:
+            # session programs are distinct compiles (pipeline + resolve
+            # in ONE program; static-camera and moving-camera resolves
+            # differ structurally).  The jit caches are process-global,
+            # so this warms every future ?session= stream of this shape.
+            from tpuao.models.pipeline import render_frame_temporal
+            from tpuao.params import TemporalParams
+
+            _, st = render_frame_temporal(
+                zz, None, eng.camera, params, TemporalParams(),
+                impl=eng.impl, out_dtype=eng.out_dtype, **kw)
+            out, _ = render_frame_temporal(
+                zz, st, eng.camera, params, TemporalParams(),
+                motion=np.eye(4, dtype=np.float32),
+                impl=eng.impl, out_dtype=eng.out_dtype, **kw)
+            np.asarray(out)
+            warmed.append(f"{name}[temporal static+moving]")
         if srv.batcher is not None:
             # every ladder rung is a distinct compile (batching.py); warm
             # deterministically via the batcher's own padded-batch path --
