@@ -805,3 +805,132 @@ def test_serve_temporal_session_ttl_eviction():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_temporal_session_resume_and_overlay():
+    """Review-fix pins: (a) a TTL-evicted stream resumed with the SAME
+    camera rebinds it (identical re-sends accepted; only changes 400) and
+    signals the restart via X-TPUAO-Session-Frame: 0; (b) session
+    tunables are per-request overlays like the stateless path, not
+    sticky mutations."""
+    import sys
+    import threading
+    import time as _time
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    import serve as S
+
+    from tpuao.models.pipeline import render_frame_temporal
+    from tpuao.params import AOParams, CameraParams, TemporalParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z = [F.spheres_on_plane(64, 96, n_spheres=2, seed=s
+                                ).astype(np.float32) for s in (7, 8)]
+
+        def post(qs, depth):
+            req = urllib.request.Request(f"{base}/ao?{qs}",
+                                         data=dumps_pfm(depth))
+            r = urllib.request.urlopen(req)
+            return (loads_pfm(r.read()),
+                    int(r.headers["X-TPUAO-Session-Frame"]))
+
+        # (a) camera re-send + TTL restart detection
+        _, f0 = post("session=r1&fov=80", z[0])
+        _, f1 = post("session=r1&fov=80", z[1])  # identical re-send ok
+        assert (f0, f1) == (0, 1)
+        srv.session_ttl = 0.05
+        _time.sleep(0.1)
+        got, f2 = post("session=r1&fov=80", z[0])  # evicted -> rebinds
+        assert f2 == 0  # restart is visible to the client
+        import math
+
+        cam80 = CameraParams(
+            depth_mode="linear",
+            tan_half_fov_h=math.tan(math.radians(80.0) / 2))
+        want, _ = render_frame_temporal(z[0], None, cam80, AOParams(),
+                                        TemporalParams())
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-6)
+        srv.session_ttl = 600.0
+        try:
+            post("session=r1&fov=60", z[0])  # a CHANGE still 400s
+            assert False, "expected 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+        # (b) overlay tunables: frame 1 with strength=2, frame 2 bare
+        got1, _ = post("session=ov&strength=2.0", z[0])
+        got2, _ = post("session=ov", z[1])
+        cam = CameraParams(depth_mode="linear")
+        w1, st = render_frame_temporal(z[0], None, cam,
+                                       AOParams(strength=2.0),
+                                       TemporalParams())
+        w2, _ = render_frame_temporal(z[1], st, cam, AOParams(),
+                                      TemporalParams())
+        np.testing.assert_allclose(got1, np.asarray(w1), atol=1e-6)
+        np.testing.assert_allclose(got2, np.asarray(w2), atol=1e-6)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_temporal_session_failed_frame_restores_history(monkeypatch):
+    """A frame that 500s terminally must leave the session history
+    exactly as before the attempt (review fix: a poisoned/half-advanced
+    state would mis-blend every later frame)."""
+    import sys
+    import threading
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    import serve as S
+
+    from tpuao.models.pipeline import TemporalAOEngine
+    from tpuao.params import CameraParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z = [F.spheres_on_plane(48, 64, n_spheres=2, seed=s
+                                ).astype(np.float32) for s in (1, 2, 3)]
+
+        def post(qs, depth):
+            req = urllib.request.Request(f"{base}/ao?{qs}",
+                                         data=dumps_pfm(depth))
+            return loads_pfm(urllib.request.urlopen(req).read())
+
+        post("session=hf", z[0])
+        # make the next render fail persistently (not transient-classed)
+        from tpuao.models import pipeline as P
+
+        real = P.render_frame_temporal
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected persistent fault")
+
+        monkeypatch.setattr(P, "render_frame_temporal", boom)
+        try:
+            post("session=hf", z[1])
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        monkeypatch.setattr(P, "render_frame_temporal", real)
+        got = post("session=hf", z[2])
+        # reference: the failed frame never happened
+        eng = TemporalAOEngine(CameraParams(depth_mode="linear"))
+        eng.render(z[0])
+        want = np.asarray(eng.render(z[2]))
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        srv.shutdown()
+        srv.server_close()

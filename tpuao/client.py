@@ -168,10 +168,12 @@ class AOClient:
         if out != "pfm":
             q["out"] = out
         body = b"".join(dumps_pfm(f) for f in frames)
-        payload = self._post_ao(q, body, self.retries)
+        payload, _ = self._post_ao(q, body, self.retries)
         return payload if out == "png" else loads_pfm(payload)
 
-    def _post_ao(self, q: dict, body: bytes, retries: int) -> bytes:
+    def _post_ao(self, q: dict, body: bytes,
+                 retries: int) -> tuple[bytes, dict]:
+        """POST /ao; returns ``(payload, response headers)``."""
         import http.client
 
         qs = ("?" + urllib.parse.urlencode(q)) if q else ""
@@ -182,7 +184,7 @@ class AOClient:
             try:
                 with urllib.request.urlopen(req,
                                             timeout=self.timeout) as r:
-                    return r.read()
+                    return r.read(), dict(r.headers)
             except urllib.error.HTTPError as e:
                 msg = e.read().decode(errors="replace")
                 if e.code == 400:  # caller error; the message says why
@@ -263,6 +265,14 @@ class TemporalSession:
     (this frame's 4x4 world->eye matrix) or ``motion=`` (the current->
     previous eye transform) for a moving camera; omit both when static.
 
+    The session camera rides EVERY frame (the server accepts identical
+    re-sends and rejects only changes), so a stream resumed after the
+    server TTL-evicted its history rebinds the right camera
+    automatically.  ``last_frame_index`` mirrors the server's
+    ``X-TPUAO-Session-Frame`` header: if it comes back 0 on a frame you
+    thought was mid-stream, the accumulation restarted (TTL eviction)
+    -- correct but un-accumulated output.
+
     Transport-level retries are DISABLED for session frames: a re-send
     after a lost response would advance the server's history twice
     (stateless renders are pure; temporal frames are not).  On a
@@ -272,9 +282,13 @@ class TemporalSession:
     def __init__(self, client: AOClient, session_id: str, cam: dict):
         self.client = client
         self.id = session_id
-        self._pending = dict(cam)  # camera binds on the first frame
+        for k in cam:
+            if k not in _CAMERA_KEYS:
+                raise ValueError(f"unknown camera override {k!r}")
+        self._cam = {k: repr(float(v)) for k, v in cam.items()}
         self._pending_reset = False
         self._closed = False
+        self.last_frame_index = None
 
     def render(self, depth, normals=None, color=None, *, view=None,
                motion=None, reset: bool = False, out: str = "pfm",
@@ -309,11 +323,7 @@ class TemporalSession:
             if not lo <= v <= hi:
                 raise ValueError(f"{k}={v} outside [{lo}, {hi}]")
             q[k] = repr(v)
-        if self._pending:
-            for k, v in self._pending.items():
-                if k not in _CAMERA_KEYS:
-                    raise ValueError(f"unknown camera override {k!r}")
-                q[k] = repr(float(v))
+        q.update(self._cam)  # every frame: idempotent re-bind on resume
         depth = np.asarray(depth, np.float32)
         if depth.ndim != 2:
             raise ValueError(f"depth must be (H, W), got {depth.shape}")
@@ -327,9 +337,10 @@ class TemporalSession:
         if out != "pfm":
             q["out"] = out
         body = b"".join(dumps_pfm(f) for f in frames)
-        payload = self.client._post_ao(q, body, retries=0)
-        self._pending = {}  # camera bound server-side on success
+        payload, headers = self.client._post_ao(q, body, retries=0)
         self._pending_reset = False
+        idx = headers.get("X-TPUAO-Session-Frame")
+        self.last_frame_index = int(idx) if idx is not None else None
         return payload if out == "png" else loads_pfm(payload)
 
     def reset(self):
@@ -337,10 +348,17 @@ class TemporalSession:
         self._pending_reset = True
 
     def close(self):
-        """DELETE the server-side history (idempotent)."""
+        """DELETE the server-side history (idempotent, best-effort).
+
+        Transport faults are swallowed -- close() runs from ``__exit__``
+        during error unwinding, where a raise would mask the exception
+        that actually broke the stream; an unreachable server's history
+        is reclaimed by its own TTL eviction anyway."""
         if self._closed:
             return
         self._closed = True
+        import http.client
+
         req = urllib.request.Request(
             f"{self.client.base_url}/session/{self.id}", method="DELETE")
         try:
@@ -352,6 +370,8 @@ class TemporalSession:
                 raise RuntimeError(
                     f"server error HTTP {e.code} closing session"
                 ) from None
+        except (OSError, http.client.HTTPException):
+            pass
 
     def __enter__(self):
         return self

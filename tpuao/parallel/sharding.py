@@ -81,6 +81,13 @@ def scan_optional(one, xs, unroll_cap: int = 8, extra=()):
                         unroll=min(int(n), unroll_cap))[1]
 
 
+def pad_leading(x, pad: int):
+    """Pad a leading axis by replicating the last entry ``pad`` times
+    (the uneven-view-count alignment used by every sharded mode)."""
+    reps = (pad,) + (1,) * (x.ndim - 1)
+    return jnp.concatenate([x, jnp.tile(x[-1:], reps)], axis=0)
+
+
 def render_views(depths, camera=None, params=None, normals=None,
                  impl: str = "auto"):
     """vmap of the frame program over a leading views axis (no sharding).
@@ -165,11 +172,7 @@ def render_views_sharded(depths, camera=None, params=None, normals=None,
         params = jax.tree_util.tree_map(fix, params)
     if n % n_dev:
         pad = -(-n // n_dev) * n_dev - n
-
-        def pad_views(x):
-            reps = (pad,) + (1,) * (x.ndim - 1)
-            return jnp.concatenate([x, jnp.tile(x[-1:], reps)], axis=0)
-
+        pad_views = functools.partial(pad_leading, pad=pad)
         res = render_views_sharded(
             pad_views(jnp.asarray(depths)),
             jax.tree_util.tree_map(pad_views, camera) if per_view
@@ -332,11 +335,7 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
 
     if v % n_dev:
         pad = -(-v // n_dev) * n_dev - v
-
-        def pad_views(x):
-            reps = (pad,) + (1,) * (x.ndim - 1)
-            return jnp.concatenate([x, jnp.tile(x[-1:], reps)], axis=0)
-
+        pad_views = functools.partial(pad_leading, pad=pad)
         out = render_sequences_temporal_sharded(
             pad_views(depths), camera, params, tparams,
             motions=None if motions is None else pad_views(motions),

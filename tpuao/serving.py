@@ -78,6 +78,22 @@ from tpuao.utils.frameio import dumps_pfm, loads_pfm_multi
 from tpuao.utils.resilience import retry_transient
 
 
+_SESSION_ID_RE = r"[A-Za-z0-9_.-]{1,64}"
+
+
+def _sweep_sessions(srv, now=None):
+    """Evict idle temporal sessions (device-side history is ~2 full-res
+    f32 planes per session -- an abandoned 4K stream parks ~66 MB of
+    HBM).  Runs on EVERY /ao POST and DELETE, not just session traffic,
+    so the TTL holds even when all later requests are stateless.
+    Caller holds ``srv.sessions_lock`` (the table's own lock -- the
+    sweep must never wait behind an in-flight render on ``srv.lock``)."""
+    now = time.monotonic() if now is None else now
+    for k in [k for k, s in srv.sessions.items()
+              if now - s["last"] > srv.session_ttl]:
+        del srv.sessions[k]
+
+
 def _apply_camera_overrides(camera, cam_over):
     """Validated per-request camera: ``fov`` (degrees) converts to
     ``tan_half_fov_h``; the result is range-checked like the tunables."""
@@ -96,10 +112,13 @@ class AOHandler(BaseHTTPRequestHandler):
         if self.server.verbose:
             super().log_message(fmt, *args)
 
-    def _send(self, code, body, ctype="application/octet-stream"):
+    def _send(self, code, body, ctype="application/octet-stream",
+              headers=()):
         self.send_response(code)
         self.send_header("Content-Type", ctype)
         self.send_header("Content-Length", str(len(body)))
+        for k, v in headers:
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -143,11 +162,12 @@ class AOHandler(BaseHTTPRequestHandler):
 
     def do_DELETE(self):
         path = urlparse(self.path).path
-        m = re.fullmatch(r"/session/([A-Za-z0-9_.-]{1,64})", path)
+        m = re.fullmatch(rf"/session/({_SESSION_ID_RE})", path)
         if not m:
             self._send(404, b"not found", "text/plain")
             return
-        with self.server.lock:
+        with self.server.sessions_lock:
+            _sweep_sessions(self.server)
             dropped = self.server.sessions.pop(m.group(1), None)
         if dropped is None:
             self._send(404, b"no such session", "text/plain")
@@ -158,63 +178,96 @@ class AOHandler(BaseHTTPRequestHandler):
                         reset, tunables, t_tunables, cam_over):
         """One temporal-session frame (under the server render lock).
 
-        A retry attempt restores the session's pre-frame history first:
-        ``TemporalAOEngine.render`` advances ``_prev_view`` before the
-        device render, so a transient fault mid-frame would otherwise
-        make the retry derive an identity motion from the half-updated
+        Returns ``(ao, frame_index)`` -- the index rides back as the
+        ``X-TPUAO-Session-Frame`` header so clients can DETECT a silent
+        history restart (TTL eviction between frames recreates the
+        session; index 0 on a frame the client thought was mid-stream
+        means the accumulation started over).
+
+        Every attempt (and any terminal failure) restores the session's
+        pre-frame history first: ``TemporalAOEngine.render`` advances
+        ``_prev_view``/``_state`` before+during the device render, so a
+        fault mid-frame would otherwise make the NEXT frame derive an
+        identity motion (or read a poisoned history) from half-updated
         state."""
         from tpuao.models.pipeline import TemporalAOEngine
 
         srv = self.server
         now = time.monotonic()
         with srv.lock:
-            # evict idle sessions (device-side history is ~2 full-res
-            # f32 planes per session -- an abandoned 4K stream parks
-            # 66 MB of HBM)
-            dead = [k for k, s in srv.sessions.items()
-                    if now - s["last"] > srv.session_ttl]
-            for k in dead:
-                del srv.sessions[k]
-            ses = srv.sessions.get(sid)
-            if ses is None:
-                if len(srv.sessions) >= srv.max_sessions:
+            # the render itself serializes on srv.lock; the table ops
+            # take the table's own lock (srv.lock first, always -- the
+            # cheap request-path sweeps hold only sessions_lock)
+            with srv.sessions_lock:
+                _sweep_sessions(srv, now)
+                ses = srv.sessions.get(sid)
+                if ses is None:
+                    if len(srv.sessions) >= srv.max_sessions:
+                        raise ValueError(
+                            f"session table full ({srv.max_sessions}); "
+                            "DELETE /session/<id> or wait for TTL "
+                            "eviction")
+                    camera = srv.engine.camera
+                    if cam_over:
+                        camera = _apply_camera_overrides(camera,
+                                                         dict(cam_over))
+                    ses = {"engine": TemporalAOEngine(
+                               camera, srv.engine.params,
+                               impl=srv.engine.impl,
+                               out_dtype=srv.engine.out_dtype),
+                           "last": now, "frames": 0, "created": True}
+                    srv.sessions[sid] = ses
+            if not ses.pop("created", False) and cam_over:
+                # idempotent re-sends are fine (the thin client sends the
+                # session camera on EVERY frame so a TTL-evicted stream
+                # rebinds correctly on resume); only a CHANGE is an error
+                bound = _apply_camera_overrides(srv.engine.camera,
+                                                dict(cam_over))
+                # identical query strings produce identical floats, so a
+                # re-send compares exactly equal; any real change differs
+                if params_to_dict(ses["engine"].camera) != \
+                        params_to_dict(bound):
                     raise ValueError(
-                        f"session table full ({srv.max_sessions}); "
-                        "DELETE /session/<id> or wait for TTL eviction")
-                camera = srv.engine.camera
-                if cam_over:
-                    camera = _apply_camera_overrides(camera, dict(cam_over))
-                ses = {"engine": TemporalAOEngine(
-                           camera, srv.engine.params,
-                           impl=srv.engine.impl,
-                           out_dtype=srv.engine.out_dtype),
-                       "last": now}
-                srv.sessions[sid] = ses
-            elif cam_over:
-                raise ValueError(
-                    "camera is fixed per session (reprojection assumes "
-                    "one camera per sequence); open a new session= or "
-                    "reset=1 after DELETE")
+                        "camera is fixed per session (reprojection "
+                        "assumes one camera per sequence); re-sending "
+                        "the SAME camera is fine, changing it needs a "
+                        "new session= (or DELETE first)")
             ses["last"] = now
             engine = ses["engine"]
             if reset:
                 engine.reset()
-            if tunables:
-                engine.params = engine.params.replace(**tunables)
-            if normals is not None and not engine.params.use_normals:
-                engine.params = engine.params.replace(use_normals=True)
-            if t_tunables:
-                engine.tparams = engine.tparams.replace(**t_tunables)
-            saved = (engine._state, engine._prev_view)
+                ses["frames"] = 0
+            # per-request overlay semantics, same as the stateless path:
+            # overrides apply to THIS frame only, and both param sets are
+            # validated BEFORE either is applied (a 400 must not leave a
+            # half-mutated session)
+            params = engine.params.replace(**tunables).validate() \
+                if tunables else engine.params
+            if normals is not None and not params.use_normals:
+                params = params.replace(use_normals=True)
+            tparams = engine.tparams.replace(**t_tunables).validate() \
+                if t_tunables else engine.tparams
+            saved = (engine._state, engine._prev_view,
+                     engine._params, engine._tparams)
 
             def attempt():
-                engine._state, engine._prev_view = saved
+                engine._state, engine._prev_view = saved[0], saved[1]
+                engine._params, engine._tparams = params, tparams
                 return np.asarray(engine.render(
                     depth, normals=normals, color=color,
                     motion=None if (mat is None or is_view) else mat,
                     view=mat if (mat is not None and is_view) else None))
 
-            return retry_transient(attempt)()
+            try:
+                ao = retry_transient(attempt)()
+            except BaseException:
+                (engine._state, engine._prev_view,
+                 engine._params, engine._tparams) = saved
+                raise
+            engine._params, engine._tparams = saved[2], saved[3]
+            frame = ses["frames"]
+            ses["frames"] = frame + 1
+            return ao, frame
 
     def do_POST(self):
         url = urlparse(self.path)
@@ -223,6 +276,10 @@ class AOHandler(BaseHTTPRequestHandler):
             return
         t0 = time.perf_counter()
         self._count("requests")
+        with self.server.sessions_lock:
+            # the TTL must hold even when all remaining traffic is
+            # stateless; the table lock is never held across a render
+            _sweep_sessions(self.server)
         try:
             q = dict(parse_qsl(url.query))
             out_fmt = q.pop("out", "pfm")
@@ -249,10 +306,9 @@ class AOHandler(BaseHTTPRequestHandler):
                                 or motion_s is not None or t_tunables):
                 raise ValueError(
                     "reset/view/motion/temporal tunables need session=")
-            if sid is not None and not re.fullmatch(
-                    r"[A-Za-z0-9_.-]{1,64}", sid):
+            if sid is not None and not re.fullmatch(_SESSION_ID_RE, sid):
                 raise ValueError(
-                    "session= must match [A-Za-z0-9_.-]{1,64}")
+                    f"session= must match {_SESSION_ID_RE}")
             if view_s is not None and motion_s is not None:
                 raise ValueError("pass view= or motion=, not both")
             mat = None
@@ -303,12 +359,17 @@ class AOHandler(BaseHTTPRequestHandler):
                           or self.server.batcher is None)
             self._count("temporal" if sid is not None
                         else "direct" if direct else "batched")
+            extra_headers = ()
             if sid is not None:
                 # stateful: always the direct path, never batched
-                ao = self._render_session(
+                ao, frame_idx = self._render_session(
                     sid, depth, normals, color, mat,
                     view_s is not None, reset, tunables, t_tunables,
                     cam_over)
+                # frame 0 on a frame the client thought was mid-stream
+                # means TTL eviction restarted the accumulation
+                extra_headers = (("X-TPUAO-Session-Frame",
+                                  str(frame_idx)),)
             elif direct:
                 with self.server.lock:
                     # traced scalars: swapping tunables OR camera
@@ -369,7 +430,7 @@ class AOHandler(BaseHTTPRequestHandler):
         with self.server.stats_lock:
             self.server.stats["ok"] += 1
             self.server.latencies.append((time.perf_counter() - t0) * 1e3)
-        self._send(200, body, ctype)
+        self._send(200, body, ctype, headers=extra_headers)
 
 
 def warm_server(srv, shape, buffers=()) -> list[str]:
@@ -477,7 +538,8 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
     srv.stats_lock = threading.Lock()
     srv.stats = {"requests": 0, "ok": 0, "errors": 0,
                  "direct": 0, "batched": 0, "temporal": 0}
-    srv.sessions = {}  # temporal sessions: id -> {engine, last}
+    srv.sessions = {}  # temporal sessions: id -> {engine, last, frames}
+    srv.sessions_lock = threading.Lock()  # table only, never held on render
     srv.session_ttl = 600.0  # idle seconds before history is evicted
     srv.max_sessions = 64
     srv.latencies = deque(maxlen=1024)  # end-to-end ms, ok requests only
