@@ -934,3 +934,190 @@ def test_serve_temporal_session_failed_frame_restores_history(monkeypatch):
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_session_failed_reset_frame_restores_history(monkeypatch):
+    """Advisor r4: a ?reset=1 frame that 500s terminally must restore
+    the PRE-reset history and frame counter (the snapshot is taken
+    before the reset is applied) -- the failed scene cut never
+    happened."""
+    import threading
+    import urllib.request
+
+    from tpuao import serving as S
+    from tpuao.models.pipeline import TemporalAOEngine
+    from tpuao.params import CameraParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm, loads_pfm
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z = [F.spheres_on_plane(48, 64, n_spheres=2, seed=s
+                                ).astype(np.float32) for s in (1, 2, 3)]
+
+        def post(qs, depth):
+            req = urllib.request.Request(f"{base}/ao?{qs}",
+                                         data=dumps_pfm(depth))
+            r = urllib.request.urlopen(req)
+            return (loads_pfm(r.read()),
+                    int(r.headers["X-TPUAO-Session-Frame"]))
+
+        _, f0 = post("session=rr", z[0])
+        _, f1 = post("session=rr", z[1])
+        assert (f0, f1) == (0, 1)
+        from tpuao.models import pipeline as P
+
+        real = P.render_frame_temporal
+
+        def boom(*a, **kw):
+            raise RuntimeError("injected persistent fault")
+
+        monkeypatch.setattr(P, "render_frame_temporal", boom)
+        try:
+            post("session=rr&reset=1", z[2])
+            assert False, "expected 500"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+        monkeypatch.setattr(P, "render_frame_temporal", real)
+        got, f2 = post("session=rr", z[2])
+        assert f2 == 2  # counter restored: the failed reset never happened
+        eng = TemporalAOEngine(CameraParams(depth_mode="linear"))
+        eng.render(z[0])
+        eng.render(z[1])
+        want = np.asarray(eng.render(z[2]))  # history NOT dropped
+        np.testing.assert_allclose(got, want, atol=1e-6)
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_session_table_full_503():
+    """Advisor r4: a full session table is transient resource
+    exhaustion (TTL eviction clears it) -> HTTP 503 + Retry-After, not
+    400; the thin client maps it to RuntimeError (retryable), not
+    ValueError (caller error)."""
+    import threading
+    import urllib.request
+
+    from tpuao import serving as S
+    from tpuao.client import AOClient
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm
+
+    srv = S.make_server(0)
+    srv.max_sessions = 1
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z = F.spheres_on_plane(48, 64, n_spheres=2, seed=4
+                               ).astype(np.float32)
+
+        def post(qs):
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/ao?{qs}", data=dumps_pfm(z))).read()
+
+        post("session=a")
+        try:
+            post("session=b")
+            assert False, "expected 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers["Retry-After"]
+            assert b"session table full" in e.read()
+        # the client splits retryable (5xx -> RuntimeError) from caller
+        # error (400 -> ValueError)
+        ses = AOClient(base).session("c")
+        with pytest.raises(RuntimeError, match="HTTP 503"):
+            ses.render(z)
+        # an EXISTING session still renders while the table is full
+        post("session=a")
+        # DELETE frees the slot
+        urllib.request.urlopen(urllib.request.Request(
+            f"{base}/session/a", method="DELETE"))
+        post("session=b")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_serve_session_ttl_refreshed_after_render(monkeypatch):
+    """Advisor r4: ses['last'] must be stamped AFTER the render -- a
+    frame that spends longer than the TTL inside the render (queued
+    behind srv.lock or a slow remote compile) must not leave the
+    session backdated and evicted by the very next sweep."""
+    import threading
+    import time as _time
+    import urllib.request
+
+    from tpuao import serving as S
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm
+
+    srv = S.make_server(0)
+    srv.session_ttl = 0.25
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        z = F.spheres_on_plane(48, 64, n_spheres=2, seed=4
+                               ).astype(np.float32)
+
+        def post(qs):
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/ao?{qs}", data=dumps_pfm(z))).read()
+
+        post("session=x")
+        eng = srv.sessions["x"]["engine"]
+        real = eng.render
+
+        def slow_render(*a, **kw):
+            _time.sleep(0.4)  # longer than the TTL, like a slow compile
+            return real(*a, **kw)
+
+        monkeypatch.setattr(eng, "render", slow_render)
+        post("session=x")  # renders for 0.4 s > ttl 0.25 s
+        # a sweep right after must NOT evict the just-rendered session
+        with srv.sessions_lock:
+            S._sweep_sessions(srv)
+        assert "x" in srv.sessions
+    finally:
+        srv.shutdown()
+        srv.server_close()
+
+
+def test_client_session_close_swallows_http_errors():
+    """Advisor r4: TemporalSession.close() runs from __exit__ during
+    error unwinding -- a 5xx on the DELETE must not replace the
+    exception that actually broke the stream."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from tpuao.client import AOClient
+
+    class Fail(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_DELETE(self):
+            body = b"injected backend fault"
+            self.send_response(500)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    srv = HTTPServer(("127.0.0.1", 0), Fail)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        c = AOClient(f"http://127.0.0.1:{srv.server_address[1]}")
+        with pytest.raises(RuntimeError, match="original"):
+            with c.session("s"):
+                raise RuntimeError("original failure")  # close() must
+                # not mask this with its own HTTP-500 RuntimeError
+    finally:
+        srv.shutdown()
+        srv.server_close()

@@ -350,10 +350,11 @@ class TemporalSession:
     def close(self):
         """DELETE the server-side history (idempotent, best-effort).
 
-        Transport faults are swallowed -- close() runs from ``__exit__``
-        during error unwinding, where a raise would mask the exception
-        that actually broke the stream; an unreachable server's history
-        is reclaimed by its own TTL eviction anyway."""
+        ALL faults -- transport-level and HTTP-status alike -- are
+        swallowed (advisor r4): close() runs from ``__exit__`` during
+        error unwinding, where a raise would mask the exception that
+        actually broke the stream, and a failed DELETE costs nothing --
+        the server's own TTL eviction reclaims the history anyway."""
         if self._closed:
             return
         self._closed = True
@@ -365,13 +366,9 @@ class TemporalSession:
             with urllib.request.urlopen(req,
                                         timeout=self.client.timeout):
                 pass
-        except urllib.error.HTTPError as e:
-            if e.code != 404:  # never-rendered sessions have no state
-                raise RuntimeError(
-                    f"server error HTTP {e.code} closing session"
-                ) from None
-        except (OSError, http.client.HTTPException):
-            pass
+        except (urllib.error.HTTPError, OSError,
+                http.client.HTTPException):
+            pass  # best-effort; 404 = never-rendered session, no state
 
     def __enter__(self):
         return self

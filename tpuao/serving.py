@@ -81,6 +81,15 @@ from tpuao.utils.resilience import retry_transient
 _SESSION_ID_RE = r"[A-Za-z0-9_.-]{1,64}"
 
 
+class ServerBusy(Exception):
+    """Transient server resource exhaustion -> HTTP 503 (advisor r4).
+
+    Distinct from ``ValueError`` (HTTP 400, a caller error): a full
+    session table is a condition TTL eviction will clear, so clients
+    should back off and retry rather than treat it as a bad request
+    (``AOClient`` maps 5xx to ``RuntimeError``, 400 to ``ValueError``)."""
+
+
 def _sweep_sessions(srv, now=None):
     """Evict idle temporal sessions (device-side history is ~2 full-res
     f32 planes per session -- an abandoned 4K stream parks ~66 MB of
@@ -203,7 +212,7 @@ class AOHandler(BaseHTTPRequestHandler):
                 ses = srv.sessions.get(sid)
                 if ses is None:
                     if len(srv.sessions) >= srv.max_sessions:
-                        raise ValueError(
+                        raise ServerBusy(
                             f"session table full ({srv.max_sessions}); "
                             "DELETE /session/<id> or wait for TTL "
                             "eviction")
@@ -234,9 +243,15 @@ class AOHandler(BaseHTTPRequestHandler):
                         "new session= (or DELETE first)")
             ses["last"] = now
             engine = ses["engine"]
+            # snapshot BEFORE applying reset (advisor r4): a reset frame
+            # that fails terminally restores the PRE-reset history and
+            # frame counter like any other failed frame
+            saved = (engine._state, engine._prev_view,
+                     engine._params, engine._tparams, ses["frames"])
             if reset:
                 engine.reset()
                 ses["frames"] = 0
+            start_state = (engine._state, engine._prev_view)  # post-reset
             # per-request overlay semantics, same as the stateless path:
             # overrides apply to THIS frame only, and both param sets are
             # validated BEFORE either is applied (a 400 must not leave a
@@ -247,11 +262,9 @@ class AOHandler(BaseHTTPRequestHandler):
                 params = params.replace(use_normals=True)
             tparams = engine.tparams.replace(**t_tunables).validate() \
                 if t_tunables else engine.tparams
-            saved = (engine._state, engine._prev_view,
-                     engine._params, engine._tparams)
 
             def attempt():
-                engine._state, engine._prev_view = saved[0], saved[1]
+                engine._state, engine._prev_view = start_state
                 engine._params, engine._tparams = params, tparams
                 return np.asarray(engine.render(
                     depth, normals=normals, color=color,
@@ -262,11 +275,17 @@ class AOHandler(BaseHTTPRequestHandler):
                 ao = retry_transient(attempt)()
             except BaseException:
                 (engine._state, engine._prev_view,
-                 engine._params, engine._tparams) = saved
+                 engine._params, engine._tparams) = saved[:4]
+                ses["frames"] = saved[4]
                 raise
             engine._params, engine._tparams = saved[2], saved[3]
             frame = ses["frames"]
             ses["frames"] = frame + 1
+            # refresh AFTER the render (advisor r4): ``now`` was captured
+            # before queueing on srv.lock, so behind a long render/compile
+            # (20-90 s through the relay) it backdates the TTL and a live
+            # session could be evicted right after rendering
+            ses["last"] = time.monotonic()
             return ao, frame
 
     def do_POST(self):
@@ -416,6 +435,13 @@ class AOHandler(BaseHTTPRequestHandler):
                 body, ctype = encode_ao_png(ao), "image/png"
             else:
                 body, ctype = dumps_pfm(ao), "application/x-pfm"
+        except ServerBusy as e:
+            # transient resource exhaustion: 503 + Retry-After so clients
+            # back off and retry rather than treat it as a caller error
+            self._count("errors")
+            self._send(503, str(e).encode(), "text/plain",
+                       headers=(("Retry-After", "5"),))
+            return
         except ValueError as e:
             self._count("errors")
             self._send(400, str(e).encode(), "text/plain")
