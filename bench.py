@@ -9,13 +9,22 @@ JSON line for the headline metric:
     1080p full 4-level hierarchical pipeline (config 2) ms/frame,
     vs_baseline = (1 ms north-star target) / measured  (>1 beats target).
 
-Driver-proofing (VERDICT r3 item 1 -- round 3 lost its entire perf record
-to a relay flake because results only materialized at the very end):
+Driver-proofing (VERDICT r3 item 1, recalibrated r5 after the driver
+killed the r4 run at ~1000 s -- VERDICT r4 item 1):
 
   * the HEADLINE config runs FIRST and its JSON line is printed the moment
     it is measured (and again as the final line on a clean finish);
-  * BENCH_DETAIL.json is rewritten after EVERY section, so a killed run
-    still leaves everything completed so far on disk;
+  * ALL FIVE [BJ] configs + the temporal row run before any diagnostic
+    section (impl-compare, 3b, streaming, ladder, fleet) -- r4 spent its
+    window on diagnostics while config 5 went unmeasured;
+  * BENCH_BUDGET_S defaults to 850 s (under the driver's observed ~1000 s
+    kill) and the watchdog hard deadline is BUDGET+120 s, so the clean
+    bail path fires BEFORE the driver's kill;
+  * BENCH_DETAIL.json is MERGED (per-key) after EVERY section: a killed
+    or partial run updates the rows it measured and can never erase rows
+    a previous complete run produced; the record carries ``complete``
+    (this run finished with nothing skipped/errored) and
+    ``inherited_keys`` (rows carried over from a prior record);
   * each section is independently try/excepted (one flaky compile cannot
     erase the others) and budget-gated: past BENCH_BUDGET_S, remaining
     sections are skipped (recorded in "skipped");
@@ -23,7 +32,12 @@ to a relay flake because results only materialized at the very end):
     re-printing the headline -- if the total hard deadline passes or the
     relay goes silent mid-section (network rx bytes frozen for ~5 min = the
     CLAUDE.md outage signature; a normal slow remote compile keeps
-    receiving bytes).
+    receiving bytes);
+  * compile count per config is minimized: one AOT compile serves the
+    accuracy output AND the roofline census, and device_time_ms's chain
+    length is traced (utils/profiling.py), so a config pays 2 remote
+    compiles instead of r4's ~5 (each 20-90 s through the relay -- this,
+    not measurement time, dominated r4's 544 s config-2 section).
 
 Accuracy (VERDICT r3 item 2 -- no more null err cells): frames >4 Mpix are
 golden-checked on three deterministic 64-aligned 256x256 interior crops
@@ -35,9 +49,11 @@ the full-frame golden (verified at 4K, diff 0.0; M=256 already leaks
 ~6 min at 8K of host NumPy) for the once-a-round full record.
 
 Env knobs: BENCH_REPS overrides chain length; BENCH_BUDGET_S soft budget
-(default 2100 s), hard watchdog exit at +600 s; BENCH_FULL_ERR=1 full-frame
+(default 850 s), hard watchdog exit at +120 s; BENCH_FULL_ERR=1 full-frame
 golden on >=4K; BENCH_FAST=1 legacy alias (sampled err, same as default);
-BENCH_SMOKE=1 tiny shapes for plumbing validation off-TPU.
+BENCH_SMOKE=1 tiny shapes for plumbing validation off-TPU (writes
+BENCH_SMOKE.json -- a smoke run must never merge garbage timings into the
+real record).
 """
 
 from __future__ import annotations
@@ -69,8 +85,11 @@ REPS = (int(os.environ["BENCH_REPS"])
         if os.environ.get("BENCH_REPS") else None)
 FULL_ERR = os.environ.get("BENCH_FULL_ERR") == "1"
 SMOKE = os.environ.get("BENCH_SMOKE") == "1"
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2100"))
-HARD_S = BUDGET_S + 600.0
+# 850 s default: the driver's kill window is ~1000 s (it killed r4 at
+# +975 s, rc=124) -- the budget gate and the +120 s hard watchdog must
+# both fire BEFORE the kill so the run exits rc=0 with artifacts flushed
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "850"))
+HARD_S = BUDGET_S + 120.0
 BASELINE_MS = 1.0  # BASELINE.md north star: <1 ms/frame at 1080p on 1 chip
 
 # shapes per config; SMOKE shrinks everything so the full harness plumbing
@@ -85,12 +104,13 @@ SHAPES = {
 T0 = time.monotonic()
 
 
-def roofline(fn_jitted, measured_ms, h, w, *args, **traffic_kw):
+def roofline(compiled, measured_ms, h, w, **traffic_kw):
     """Roofline floors for one config (VERDICT r1 item 6); flops from the
     compiled executable's own cost analysis, attainable floor + the
     full attribution record from its materialized-instruction census
-    (VERDICT r2 item 7 / r3 item 3)."""
-    compiled = fn_jitted.lower(*args).compile()
+    (VERDICT r2 item 7 / r3 item 3).  Takes the ALREADY-compiled
+    executable (shared with the accuracy run) -- re-lowering here cost
+    r4 one duplicate 20-90 s remote compile per config."""
     flops, trans = RL.cost_counts(compiled)
     out = RL.floors_ms(measured_ms, h, w, flops, trans,
                        census=RL.entry_census(compiled), **traffic_kw)
@@ -164,11 +184,22 @@ def progress(msg: str) -> None:
 def time_ms(fn, *args, reps=REPS, use_normals=False):
     """Per-frame device time via on-device chaining (see utils.profiling:
     block_until_ready does not sync through the axon relay) + one real
-    output for the accuracy check.  Returns (median_ms, min_ms, result)
-    over >=3 measurement repeats (VERDICT r1 item 7)."""
+    output for the accuracy check + the AOT executable (reused by the
+    roofline census).  Returns (median_ms, min_ms, result, compiled)
+    over >=3 measurement repeats (VERDICT r1 item 7).
+
+    The AOT compile carries the SAME frame-size-aware compiler options
+    device_time_ms applies to its chain (utils/xla_opts.py), so the
+    census describes the program that was actually timed."""
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    shape = getattr(args[0], "shape", ())
+    pixels = (int(shape[-2]) * int(shape[-1])) if len(shape) >= 2 else None
+    compiled = fn.lower(*args).compile(
+        compiler_options=tpu_compiler_options(pixels, use_normals))
     med, mn = device_time_ms(fn, *args, iters=reps, repeats=5,
                              return_min=True, use_normals=use_normals)
-    return med, mn, fn(*args)
+    return med, mn, compiled(*args), compiled
 
 
 def scene(h, w, with_normals=False):
@@ -187,7 +218,9 @@ class Harness:
                         "device": str(jax.devices()[0]),
                         "smoke": SMOKE, "full_err": FULL_ERR,
                         "stray_processes": stray_processes(),
-                        "skipped": [], "errors": {}, "configs": {}}
+                        "skipped": [], "errors": {}, "configs": {},
+                        "complete": False, "sections_run": [],
+                        "section_s": {}}
         self.headline_ms = None
         self.headline_emitted_final = False
         self.section_name = None
@@ -197,13 +230,45 @@ class Harness:
                   f"{self.results['stray_processes']}", file=sys.stderr)
 
     # -- persistence --------------------------------------------------------
+    # smoke runs write elsewhere: their timings are meaningless and must
+    # never merge into (or clobber) the real record
+    DETAIL_PATH = "BENCH_SMOKE.json" if SMOKE else "BENCH_DETAIL.json"
+
+    # keys that describe THIS run, never inherited from a prior record
+    # (a stale 'bailed' or error list must not misdescribe a clean rerun)
+    _RUN_KEYS = ("bailed", "skipped", "errors", "complete", "sections_run",
+                 "section_s", "elapsed_s", "stray_processes",
+                 "inherited_keys")
+
     def flush(self):
+        """Merge this run's results into the detail file (VERDICT r4
+        item 1c): per-key update, so a killed/partial run can never erase
+        rows a complete run produced.  Measurement keys from the prior
+        record survive unless this run re-measured them; they are listed
+        in ``inherited_keys`` and the ``complete`` flag marks whether
+        this run finished every section itself."""
         with self.lock:
             self.results["elapsed_s"] = round(time.monotonic() - T0, 1)
-            tmp = "BENCH_DETAIL.json.tmp"
+            try:
+                with open(self.DETAIL_PATH) as f:
+                    merged = json.load(f)
+            except (OSError, ValueError):
+                merged = {}
+            for k in self._RUN_KEYS:
+                merged.pop(k, None)
+            for k, v in self.results.items():
+                if k == "configs" and isinstance(merged.get(k), dict):
+                    merged[k] = {**merged[k], **v}
+                else:
+                    merged[k] = v
+            inherited = sorted(set(merged) - set(self.results))
+            inherited += sorted(set(merged.get("configs", {}))
+                                - set(self.results["configs"]))
+            merged["inherited_keys"] = inherited
+            tmp = self.DETAIL_PATH + ".tmp"
             with open(tmp, "w") as f:
-                json.dump(self.results, f, indent=2)
-            os.replace(tmp, "BENCH_DETAIL.json")
+                json.dump(merged, f, indent=2)
+            os.replace(tmp, self.DETAIL_PATH)
 
     def emit_headline(self, note=None):
         if self.headline_ms is None:
@@ -235,6 +300,9 @@ class Harness:
 
             self.results["errors"][name] = repr(e)
             traceback.print_exc()
+        self.results["sections_run"].append(name)
+        self.results["section_s"][name] = round(
+            time.monotonic() - self.section_t0, 1)
         self.section_name = None
         self.flush()
 
@@ -360,18 +428,16 @@ def main():
         zd = jax.device_put(jnp.asarray(z, jnp.float32))
         p2 = AOParams()
         f2 = jax.jit(lambda d: ao_pipeline(d, cam, p2, None, impl=impl)[0])
-        ms2, mn2, ao = time_ms(f2, zd)
+        ms2, mn2, ao, c2 = time_ms(f2, zd)
         err2 = golden_err(ao, z, p2)
         results["configs"]["2_1080p_full"] = dict(
             ms=ms2, ms_min=mn2,
             mpix_s=(z.size / 1e6) / (ms2 / 1e3), max_abs_err=err2,
-            roofline=roofline(f2, ms2, *S["1080p"], zd))
+            roofline=roofline(c2, ms2, *S["1080p"]))
         st.update(z2=z, zd=zd, p2=p2, f2=f2, ms2=ms2)
         hz.headline_ms = ms2
         hz.flush()
         hz.emit_headline(note="after config 2, early")
-
-    hz.section("config 2: 1080p full (headline)", sec_config2)
 
     # ---- config 1: single-scale 1/2-res AO, 720p, no blur -----------------
     def sec_config1():
@@ -379,7 +445,7 @@ def main():
         zd = jax.device_put(jnp.asarray(z, jnp.float32))
         p1 = AOParams(hierarchy_depth=1, enable_blur=False)
         f1 = jax.jit(lambda d: single_scale_ao(d, cam, p1, impl=impl))
-        ms, mn, ao = time_ms(f1, zd)
+        ms, mn, ao, c1 = time_ms(f1, zd)
         gp, gc = to_golden(p1, cam)
         h, w = S["720p"]
         hp, wp = padded_shape(h, w)
@@ -390,10 +456,8 @@ def main():
         results["configs"]["1_720p_single_scale"] = dict(
             ms=ms, ms_min=mn, mpix_s=(h * w / 1e6) / (ms / 1e3),
             max_abs_err=err,
-            roofline=roofline(f1, ms, h, w, zd, depth_levels=1,
+            roofline=roofline(c1, ms, h, w, depth_levels=1,
                               enable_blur=False, single_scale=True))
-
-    hz.section("config 1: 720p single-scale", sec_config1)
 
     # ---- standing impl regression rows (VERDICT r2 item 5): the
     # "XLA beats Pallas" default is re-measured every bench run on the
@@ -436,9 +500,9 @@ def main():
                   "default ranking has flipped; re-evaluate impl='auto'",
                   file=sys.stderr)
 
-    hz.section("impl regression rows 1080p (pallas/fused)",
-               lambda: impl_compare(st["zd"], st["p2"],
-                                    "impl_compare_1080p_ms", st["ms2"]))
+    def sec_impl1080():
+        impl_compare(st["zd"], st["p2"], "impl_compare_1080p_ms",
+                     st["ms2"])
 
     # ---- config 3: 1080p + normals + tunable sweep ------------------------
     def sec_config3():
@@ -448,7 +512,7 @@ def main():
         p3 = AOParams(use_normals=True)
         f3 = jax.jit(lambda d, nn, pp: ao_pipeline(d, cam, pp, nn,
                                                    impl=impl)[0])
-        ms3, mn3, ao = time_ms(f3, zd, nd, p3, use_normals=True)
+        ms3, mn3, ao, c3 = time_ms(f3, zd, nd, p3, use_normals=True)
         err3 = golden_err(ao, z, p3, normals=n)
         # tunable sweep contract: varied params reuse the compiled program
         traces = 0
@@ -471,13 +535,10 @@ def main():
         results["configs"]["3_1080p_normals_sweep"] = dict(
             ms=ms3, ms_min=mn3,
             mpix_s=(z.size / 1e6) / (ms3 / 1e3), max_abs_err=err3,
-            roofline=roofline(f3, ms3, *S["1080p"], zd, nd, p3,
-                              use_normals=True),
+            roofline=roofline(c3, ms3, *S["1080p"], use_normals=True),
             sweep_settings=len(sweep), sweep_retraces=traces - 1,
             sweep_ms=[round(v, 4) for v in sweep_ms])
         st.update(zd3=zd, nd3=nd, p3=p3, f3=f3)
-
-    hz.section("config 3: 1080p normals + sweep", sec_config3)
 
     # ---- config 3b: 4K + normals (VERDICT r2 item 9: record the normals
     # path's scaling before anyone deploys it at 4K) ------------------------
@@ -486,31 +547,26 @@ def main():
         zd4n = jax.device_put(jnp.asarray(z4n, jnp.float32))
         nd4 = jax.device_put(jnp.asarray(n4, jnp.float32))
         p3, f3 = st["p3"], st["f3"]
-        ms, mn, ao = time_ms(f3, zd4n, nd4, p3, use_normals=True)
+        ms, mn, ao, c = time_ms(f3, zd4n, nd4, p3, use_normals=True)
         err = golden_err_big(ao, z4n, p3, normals=n4)
         results["configs"]["3b_4k_normals"] = dict(
             ms=ms, ms_min=mn,
             mpix_s=(z4n.size / 1e6) / (ms / 1e3), max_abs_err=err,
             err_mode="full" if FULL_ERR else "sampled_crops",
-            roofline=roofline(f3, ms, *S["4k"], zd4n, nd4, p3,
-                              use_normals=True))
-
-    hz.section("config 3b: 4K normals", sec_config3b)
+            roofline=roofline(c, ms, *S["4k"], use_normals=True))
 
     # ---- config 4: 4K single camera ---------------------------------------
     def sec_config4():
         z4 = scene(*S["4k"])
         zd4 = jax.device_put(jnp.asarray(z4, jnp.float32))
         f2, p2 = st["f2"], st["p2"]
-        ms, mn, ao = time_ms(f2, zd4)
+        ms, mn, ao, c = time_ms(f2, zd4)
         err = golden_err_big(ao, z4, p2)
         results["configs"]["4_4k_full"] = dict(
             ms=ms, ms_min=mn,
             mpix_s=(z4.size / 1e6) / (ms / 1e3), max_abs_err=err,
             err_mode="full" if FULL_ERR else "sampled_crops",
-            roofline=roofline(f2, ms, *S["4k"], zd4))
-
-    hz.section("config 4: 4K full", sec_config4)
+            roofline=roofline(c, ms, *S["4k"]))
 
     # ---- config 4b: 8K single camera, single chip --------------------------
     # (VERDICT r1 item 2: used to OOM from the interleave's 64x layout
@@ -519,16 +575,14 @@ def main():
         z8 = scene(*S["8k"])
         zd8 = jax.device_put(jnp.asarray(z8, jnp.float32))
         f2, p2 = st["f2"], st["p2"]
-        ms, mn, ao = time_ms(f2, zd8)
+        ms, mn, ao, c = time_ms(f2, zd8)
         err = golden_err_big(ao, z8, p2)
         results["configs"]["4b_8k_full"] = dict(
             ms=ms, ms_min=mn,
             mpix_s=(z8.size / 1e6) / (ms / 1e3), max_abs_err=err,
             err_mode="full" if FULL_ERR else "sampled_crops",
-            roofline=roofline(f2, ms, *S["8k"], zd8))
+            roofline=roofline(c, ms, *S["8k"]))
         st.update(zd8=zd8, ms8=ms)
-
-    hz.section("config 4b: 8K full", sec_config4b)
 
     # ---- standing 8K impl rows (VERDICT r3 item 4): the default's WEAKEST
     # geometry -- docs/PERF.md shows the standalone Pallas render already
@@ -536,8 +590,6 @@ def main():
     def sec_impl8k():
         impl_compare(st["zd8"], st["p2"], "impl_compare_8k_ms", st["ms8"])
         del st["zd8"]
-
-    hz.section("impl regression rows 8K", sec_impl8k)
 
     # ---- config 5: 8-view 1080p batch, view-sharded mesh ------------------
     def sec_config5():
@@ -557,7 +609,7 @@ def main():
         zsd = jax.device_put(zs, spec)
         sm = sharded_views_fn(cam, p2, mesh, impl=impl)
         f5 = jax.jit(lambda d: sm(d, None))
-        ms5, mn5, ao5 = time_ms(f5, zsd)
+        ms5, mn5, ao5, _ = time_ms(f5, zsd)
         # accuracy record like every other row: the views are copies of one
         # scene, so golden-checking view 0 covers the sharded program (fetch
         # one view, not the whole batch -- the relay moves ~35 MB/s)
@@ -567,8 +619,6 @@ def main():
             mpix_s=(views * z2.size / 1e6) / (ms5 / 1e3),
             max_abs_err=err5, mesh_devices=int(mesh.devices.size))
         st.update(f5=f5, zsd=zsd, views=views)
-
-    hz.section("config 5: 8-view sharded batch", sec_config5)
 
     # ---- streaming rates (host-driven launches): what a serving
     # deployment actually pays per frame.  Every row above chains
@@ -591,7 +641,6 @@ def main():
             "batch8_speedup": round(ms_one / (ms_b8 / views), 2),
         }
 
-    hz.section("streaming host-launch rates", sec_streaming)
 
     # ---- quality ladder: presets at 1080p (reference QualityLevel analog).
     # Timing only -- preset math is golden-tested in pytest; zd/nd are the
@@ -608,7 +657,6 @@ def main():
                 use_normals=pp.use_normals), 4)
         results["quality_ladder_1080p_ms"] = ladder
 
-    hz.section("quality ladder", sec_ladder)
 
     # ---- temporal accumulation (beyond-reference; golden/temporal.py):
     # what the resolve adds to a 1080p frame.  Static camera is fused
@@ -660,8 +708,67 @@ def main():
             "scan8_ms_per_frame": round(ms_seq / t_n, 4),
         }
 
-    hz.section("temporal accumulation 1080p", sec_temporal)
+    # ---- temporal fleet (VERDICT r4 item 6): 8 sequences x 8 frames in
+    # ONE scan-of-scans program (parallel/sharding.py) on this host's
+    # mesh -- the zero-collective fleet claim gets a measured ms/frame/view
+    # next to the single-sequence scan row.  The (V, T, H, W) stack is
+    # built ON-DEVICE from the resident 1080p frame (a host device_put of
+    # 530 MB would take ~15 s through the 35 MB/s relay).
+    def sec_fleet():
+        from tpuao.parallel.sharding import (
+            _temporal_sharded_core,
+            make_mesh as _mk,
+        )
+        from tpuao.params import TemporalParams
 
+        zd, p2 = st["zd"], st["p2"]
+        v, t_n = 8, 8
+        tp = TemporalParams()
+        mesh = _mk()  # all local devices (1 on the real chip)
+        depths = jnp.asarray(jnp.broadcast_to(zd, (v, t_n) + zd.shape))
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 0.05  # dollying cameras: the windowed-resolve fleet
+        motions = jnp.asarray(np.broadcast_to(m, (v, t_n, 4, 4)))
+
+        # the UN-jitted shard_map core: the public wrapper's internal jit
+        # carries compiler_options, which jax forbids under the timing
+        # chain's own top-level jit (nested-jit restriction)
+        sm = _temporal_sharded_core(mesh, True, False, impl, "float32")
+
+        def fleet(ds):
+            return sm(ds, motions, None, cam, p2, tp)
+
+        ms = device_time_ms(fleet, depths, iters=REPS)
+        results["temporal_fleet_8x8_1080p"] = {
+            "ms_total": round(ms, 4),
+            "ms_per_frame_view": round(ms / (v * t_n), 4),
+            "views": v, "frames": t_n,
+            "mesh_devices": int(mesh.devices.size),
+        }
+
+    # run order (VERDICT r4 item 1a): every [BJ] config + the temporal row
+    # FIRST, diagnostics after -- r4's driver window expired on impl rows
+    # while config 5 went unmeasured
+    for name, fn in (
+            ("config 2: 1080p full (headline)", sec_config2),
+            ("config 1: 720p single-scale", sec_config1),
+            ("config 3: 1080p normals + sweep", sec_config3),
+            ("config 5: 8-view sharded batch", sec_config5),
+            ("config 4: 4K full", sec_config4),
+            ("config 4b: 8K full", sec_config4b),
+            ("temporal accumulation 1080p", sec_temporal),
+            # -- diagnostics below the [BJ] line --
+            ("config 3b: 4K normals", sec_config3b),
+            ("impl regression rows 1080p (pallas/fused)", sec_impl1080),
+            ("impl regression rows 8K", sec_impl8k),
+            ("streaming host-launch rates", sec_streaming),
+            ("temporal fleet 8x8", sec_fleet),
+            ("quality ladder", sec_ladder),
+    ):
+        hz.section(name, fn)
+
+    results["complete"] = (not results["skipped"]
+                           and not results["errors"])
     hz.flush()
     progress(f"done in {time.monotonic() - T0:.0f}s; "
              f"skipped={results['skipped']} errors={list(results['errors'])}")

@@ -359,10 +359,14 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
 
 
 @functools.lru_cache(maxsize=None)
-def _temporal_sharded_jit(mesh: Mesh, with_motions: bool, with_normals: bool,
-                          impl: str, local_px: int, out_dtype: str):
+def _temporal_sharded_core(mesh: Mesh, with_motions: bool,
+                           with_normals: bool, impl: str, out_dtype: str):
+    """The UN-jitted fleet shard_map (scan-of-scans per chip).  Split out
+    of ``_temporal_sharded_jit`` so callers that compose it under their
+    own top-level jit (the bench's timing chain) can: jax forbids
+    ``compiler_options`` on nested jits, so the jitted form below cannot
+    be wrapped."""
     from tpuao.models.pipeline import _sequence_scan_core
-    from tpuao.utils.xla_opts import tpu_compiler_options
 
     def per_chip(d, mot, nrm, camera, params, tparams):
         # scan of the whole-sequence program over the chip's local views;
@@ -378,7 +382,7 @@ def _temporal_sharded_jit(mesh: Mesh, with_motions: bool, with_normals: bool,
                 init=init),
             (d, mot, nrm))
 
-    sm = jax.shard_map(
+    return jax.shard_map(
         per_chip, mesh=mesh,
         in_specs=(P(VIEW_AXIS, None, None, None),
                   P(VIEW_AXIS, None, None, None) if with_motions else P(),
@@ -387,5 +391,14 @@ def _temporal_sharded_jit(mesh: Mesh, with_motions: bool, with_normals: bool,
                   P(), P(), P()),
         out_specs=P(VIEW_AXIS, None, None, None),
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _temporal_sharded_jit(mesh: Mesh, with_motions: bool, with_normals: bool,
+                          impl: str, local_px: int, out_dtype: str):
+    from tpuao.utils.xla_opts import tpu_compiler_options
+
+    sm = _temporal_sharded_core(mesh, with_motions, with_normals, impl,
+                                out_dtype)
     return jax.jit(sm, compiler_options=tpu_compiler_options(local_px,
                                                              with_normals))

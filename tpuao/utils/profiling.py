@@ -31,6 +31,23 @@ import jax
 import jax.numpy as jnp
 
 
+# chained-program executable cache: (fn identity, arg signature, opts)
+# -> the jitted chain wrapper.  Without it every device_time_ms call
+# builds a fresh ``chained`` closure, so even back-to-back timings of
+# the SAME fn at the SAME shapes recompile (remote compiles cost
+# 20-90 s through the axon relay -- r4's bench spent most of its driver
+# window on duplicate chain compiles, VERDICT r4 item 1).
+_CHAIN_CACHE: dict = {}
+
+
+def _chain_cache_key(fn, args, opts):
+    sig = tuple((tuple(getattr(a, "shape", ())),
+                 str(getattr(a, "dtype", type(a).__name__)))
+                for a in args)
+    return (fn, sig,
+            None if opts is None else tuple(sorted(opts.items())))
+
+
 def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
                    return_min: bool = False, pixels: int | None = None,
                    use_normals: bool = False,
@@ -49,6 +66,12 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
     ``iters - 1``; with the old fixed 40-iteration chain that left
     +-0.4 ms of noise on a 0.5 ms program -- short chains even produced
     negative estimates.  400 ms chains push the noise below ~0.05 ms.
+
+    The chain length rides as a TRACED argument (the ``fori_loop`` bound
+    lowers to one while loop serving every n): chain-1 baselines,
+    calibration probes and the measurement chain all share ONE compiled
+    executable.  The old static-argnums form compiled a separate
+    program per distinct length -- 3+ remote compiles per call.
     """
 
     def chained(n, *a):
@@ -77,7 +100,11 @@ def device_time_ms(fn, *args, iters: int | None = None, repeats: int = 3,
             if len(shape) >= 2:
                 pixels = int(shape[-2]) * int(shape[-1])
         opts = tpu_compiler_options(pixels, use_normals)
-    compiled = jax.jit(chained, static_argnums=0, compiler_options=opts)
+    key = _chain_cache_key(fn, args, opts)
+    compiled = _CHAIN_CACHE.get(key)
+    if compiled is None:
+        compiled = jax.jit(chained, compiler_options=opts)
+        _CHAIN_CACHE[key] = compiled
     float(compiled(1, *args))
     if iters is None:
         # Two-point probes so the relay RTT cancels out of the estimate.
