@@ -52,8 +52,10 @@ def main(argv):
     for impl in ("auto", "pallas"):
         f = jax.jit(lambda a, b, c, e, mm, impl=impl: T.temporal_resolve(
             a, b, c, e, cam, tp, motion=mm, impl=impl))
+        print(f"compiling impl={impl} ...", flush=True)
         out = f(*args, m)
-        out.block_until_ready()
+        out = np.asarray(out)  # force materialization through the relay
+        print(f"compiled + materialized impl={impl}", flush=True)
         outs[impl] = np.asarray(out)
         ms = device_time_ms(
             lambda a: f(a, args[1], args[2], args[3], m), args[0],

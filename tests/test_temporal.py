@@ -14,6 +14,7 @@ from tpuao.golden.reference import linearize_depth
 from tpuao.params import (
     AOParams,
     CameraParams,
+    GoldenAOParams,
     GoldenCameraParams,
     GoldenTemporalParams,
     TemporalParams,
@@ -677,3 +678,219 @@ def test_dolly_sequence_reprojection_aligns_history():
     misaligned = run(False)
     assert aligned < 0.6 * misaligned, (aligned, misaligned)
     assert aligned < 0.01, aligned  # reprojected history ~agrees
+
+
+# ---------------------------------------------------------------------------
+# Level-1 (half-res) resolve mode (spec: golden temporal_resolve_l1_golden /
+# render_frame_l1_temporal_golden; impl: ops/temporal.py temporal_resolve_l1
+# + models/pipeline.py resolve_level=1)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("clamp", [True, False])
+def test_l1_resolve_matches_golden_static(clamp):
+    from tpuao.ops.temporal import temporal_resolve_l1
+
+    h0, w0 = 96, 128
+    h1, w1 = h0 // 2, w0 // 2
+    ao = smooth_field(h1, w1)
+    hist = smooth_field(h1, w1, seed=5)
+    d = smooth_depth(h1, w1)
+    pd = d * (1.0 + 0.04 * np.sin(np.arange(w1) / 5.0))
+    tp = GoldenTemporalParams(history_weight=0.85, depth_tolerance=0.1,
+                              neighborhood_clamp=clamp)
+    jtp = TemporalParams(history_weight=0.85, depth_tolerance=0.1,
+                         neighborhood_clamp=clamp)
+    want = GT.temporal_resolve_l1_golden(ao, d, hist, pd, h0, w0, CAM, tp)
+    got = np.asarray(temporal_resolve_l1(
+        ao.astype(np.float32), d.astype(np.float32),
+        hist.astype(np.float32), pd.astype(np.float32), h0, w0, JCAM, jtp))
+    assert np.abs(got - want).max() <= 1e-3
+
+
+@pytest.mark.parametrize("max_displacement", [4, 3, None])
+def test_l1_resolve_matches_golden_motion(max_displacement):
+    from tpuao.ops.temporal import temporal_resolve_l1
+
+    h0, w0 = 96, 128
+    h1, w1 = h0 // 2, w0 // 2
+    motion = translation(tx=0.6, ty=-0.4, tz=1.1)
+    ao = smooth_field(h1, w1)
+    hist = smooth_field(h1, w1, seed=9)
+    d = smooth_depth(h1, w1)
+    pd = smooth_depth(h1, w1, seed=2)
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                              neighborhood_clamp=False,
+                              max_displacement=max_displacement)
+    jtp = TemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                         neighborhood_clamp=False,
+                         max_displacement=max_displacement)
+    want = GT.temporal_resolve_l1_golden(ao, d, hist, pd, h0, w0, CAM, tp,
+                                         motion)
+    got = np.asarray(temporal_resolve_l1(
+        ao.astype(np.float32), d.astype(np.float32),
+        hist.astype(np.float32), pd.astype(np.float32), h0, w0, JCAM, jtp,
+        motion=motion.astype(np.float32)))
+    # boundary masking as in test_impl_matches_golden_motion: validity is
+    # the only discontinuity, in FULL-res units for the l1 mode
+    ip_f, jp_f, _, _ = GT.reproject_coords_l1(d, h0, w0, CAM, motion)
+    eps = 1e-3
+    safe = ((np.abs(ip_f + 0.5) > eps) & (np.abs(ip_f - (h0 - 0.5)) > eps)
+            & (np.abs(jp_f + 0.5) > eps) & (np.abs(jp_f - (w0 - 0.5)) > eps))
+    if max_displacement is not None:
+        ii = 2.0 * np.arange(h1)[:, None]
+        jj = 2.0 * np.arange(w1)[None, :]
+        safe &= (np.abs(np.abs(ip_f - ii) - max_displacement) > eps)
+        safe &= (np.abs(np.abs(jp_f - jj) - max_displacement) > eps)
+    assert np.abs(got - want)[safe].max() <= 1e-3
+
+
+def test_l1_resolve_pallas_matches_xla():
+    import jax
+
+    from tpuao.ops.temporal import temporal_resolve_l1
+
+    h0, w0 = 96, 128
+    h1, w1 = h0 // 2, w0 // 2
+    ao = smooth_field(h1, w1).astype(np.float32)
+    hist = smooth_field(h1, w1, seed=9).astype(np.float32)
+    d = smooth_depth(h1, w1).astype(np.float32)
+    pd = smooth_depth(h1, w1, seed=2).astype(np.float32)
+    motion = translation(tx=0.6, tz=1.1).astype(np.float32)
+    jtp = TemporalParams()
+    outs = {
+        impl: np.asarray(jax.jit(
+            lambda a, b, c, e, impl=impl: temporal_resolve_l1(
+                a, b, c, e, h0, w0, JCAM, jtp, motion=motion, impl=impl)
+        )(ao, d, hist, pd))
+        for impl in ("auto", "pallas")
+    }
+    assert np.abs(outs["auto"] - outs["pallas"]).max() <= 1e-5
+
+
+def test_l1_frame_matches_golden_dolly():
+    """Full-frame l1 mode vs the golden l1 oracle over a real dolly
+    sequence (history threading, pre-min placement, final lift, state)."""
+    from tpuao.models.pipeline import render_frame_temporal
+    from tpuao.utils.camera import relative_motion
+
+    h, w, t_n = 96, 128, 3
+    eyes = [(0.05 * t, 0.0, 0.04 * t) for t in range(t_n)]
+    depths = [F.spheres_on_plane(h, w, n_spheres=4, seed=5, eye=e
+                                 ).astype(np.float32) for e in eyes]
+
+    def views(e):
+        v = np.eye(4)
+        v[0, 3], v[1, 3], v[2, 3] = -e[0], -e[1], -e[2]
+        return v
+
+    tp = GoldenTemporalParams()
+    jtp = TemporalParams()
+    gst, jst = None, None
+    for t in range(t_n):
+        motion = (relative_motion(views(eyes[t - 1]), views(eyes[t]))
+                  if t > 0 else None)
+        want, gst = GT.render_frame_l1_temporal_golden(
+            depths[t], gst, CAM, GoldenAOParams(), tp, motion=motion)
+        got, jst = render_frame_temporal(
+            depths[t], jst, JCAM, AOParams(), jtp, motion=motion,
+            resolve_level=1)
+        assert np.abs(np.asarray(got) - want).max() <= 1e-3, t
+    # state contract: half-res, (resolved, current half depth)
+    assert tuple(jst[0].shape) == (h // 2, w // 2)
+    assert np.abs(np.asarray(jst[0]) - gst[0]).max() <= 1e-3
+    assert np.abs(np.asarray(jst[1]) - gst[1]).max() <= 1e-3
+
+
+def test_l1_close_to_fullres_resolve():
+    """The half-res mode is an approximation of the spec resolve -- pin
+    its quality envelope on a real dolly (mean within 3e-3, max within
+    0.08 of the full-res spec output)."""
+    from tpuao.models.pipeline import render_frame_temporal
+    from tpuao.utils.camera import relative_motion
+
+    h, w, t_n = 96, 128, 4
+    eyes = [(0.08 * t, 0.0, 0.0) for t in range(t_n)]
+    depths = [F.spheres_on_plane(h, w, n_spheres=4, seed=5, eye=e
+                                 ).astype(np.float32) for e in eyes]
+
+    def views(e):
+        v = np.eye(4)
+        v[0, 3], v[1, 3], v[2, 3] = -e[0], -e[1], -e[2]
+        return v
+
+    jtp = TemporalParams()
+    st0, st1 = None, None
+    for t in range(t_n):
+        motion = (relative_motion(views(eyes[t - 1]), views(eyes[t]))
+                  if t > 0 else None)
+        full, st0 = render_frame_temporal(depths[t], st0, JCAM, AOParams(),
+                                          jtp, motion=motion)
+        half, st1 = render_frame_temporal(depths[t], st1, JCAM, AOParams(),
+                                          jtp, motion=motion,
+                                          resolve_level=1)
+    diff = np.abs(np.asarray(full) - np.asarray(half))
+    assert diff.mean() <= 3e-3, diff.mean()
+    assert diff.max() <= 0.08, diff.max()
+
+
+def test_l1_sequence_scan_matches_stepwise():
+    from tpuao.models.pipeline import (render_frame_temporal,
+                                       render_sequence_temporal)
+
+    t_n, h, w = 3, 96, 128
+    depths = np.stack([np.asarray(F.spheres_on_plane(h, w, n_spheres=3,
+                                                     seed=t + 1),
+                                  dtype=np.float32) for t in range(t_n)])
+    motions = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (t_n, 4, 4)).copy()
+    motions[:, 0, 3] = 0.02
+    tp = TemporalParams()
+    seq = np.asarray(render_sequence_temporal(
+        depths, JCAM, AOParams(), tp, motions=motions, resolve_level=1))
+    st = None
+    for t in range(t_n):
+        out, st = render_frame_temporal(
+            depths[t], st, JCAM, AOParams(), tp,
+            motion=motions[t] if t else None, resolve_level=1)
+        assert np.abs(seq[t] - np.asarray(out)).max() <= 1e-5, t
+
+
+def test_l1_state_shape_guard():
+    from tpuao.models.pipeline import render_frame_temporal
+    from tpuao.ops.temporal import initial_state
+
+    z = np.asarray(F.spheres_on_plane(64, 96, n_spheres=2, seed=3),
+                   dtype=np.float32)
+    with pytest.raises(ValueError, match="resolve_level"):
+        render_frame_temporal(z, initial_state(64, 96), JCAM, AOParams(),
+                              TemporalParams(), resolve_level=1)
+    with pytest.raises(ValueError, match="resolve_level"):
+        render_frame_temporal(z, initial_state(32, 48), JCAM, AOParams(),
+                              TemporalParams(), resolve_level=0)
+    with pytest.raises(ValueError, match="resolve_level"):
+        render_frame_temporal(z, None, JCAM, AOParams(), TemporalParams(),
+                              resolve_level=2)
+
+
+def test_l1_odd_dims_and_no_blur():
+    """Odd frame dims (ceil-half state) and the enable_blur=False nearest
+    lift both match the golden l1 oracle."""
+    from tpuao.models.pipeline import render_frame_temporal
+
+    for h, w, par in ((95, 130, AOParams()),
+                      (96, 128, AOParams(enable_blur=False)),
+                      (64, 96, AOParams(hierarchy_depth=1))):
+        z = np.asarray(F.spheres_on_plane(h, w, n_spheres=3, seed=4),
+                       dtype=np.float32)
+        motion = translation(tx=0.3, tz=0.5)
+        gp = GoldenAOParams(enable_blur=par.enable_blur,
+                            hierarchy_depth=par.hierarchy_depth)
+        st_g = None
+        want, _ = GT.render_frame_l1_temporal_golden(
+            z, st_g, CAM, gp, GoldenTemporalParams(), motion=motion)
+        got, st = render_frame_temporal(z, None, JCAM, par,
+                                        TemporalParams(), motion=motion,
+                                        resolve_level=1)
+        assert np.abs(np.asarray(got) - want).max() <= 1e-3, (h, w)
+        assert tuple(st[0].shape) == (-(-h // 2), -(-w // 2)), (h, w)

@@ -86,9 +86,12 @@ __all__ = [
     "NULL_DEPTH",
     "eye_rays",
     "reproject_coords",
+    "reproject_coords_l1",
     "bilinear_sample",
     "neighborhood_bounds",
     "temporal_resolve_golden",
+    "temporal_resolve_l1_golden",
+    "render_frame_l1_temporal_golden",
     "render_sequence_golden",
 ]
 
@@ -238,6 +241,177 @@ def temporal_resolve_golden(
         lo, hi = neighborhood_bounds(curr_ao)
         hist = np.clip(hist, lo, hi)
     return alpha * hist + (1.0 - alpha) * curr_ao
+
+
+def reproject_coords_l1(depth_l1: np.ndarray, h0: int, w0: int,
+                        camera: GoldenCameraParams, motion: np.ndarray):
+    """Reprojection for the LEVEL-1 (pick-one half-res) field of an
+    (h0, w0) frame.
+
+    Half-res texel (i, j) holds full-res texel (2i, 2j) (pick-one
+    downsampling, golden/reference.py::downsample2x), so its eye ray passes
+    through full-res index coordinate (2i, 2j) of the TRUE frame -- NOT
+    through (i, j) of a fictitious uniform half grid (that convention would
+    shift every ray by half a full-res pixel and bias the depth-agreement
+    test).  Returns ``(ip_full, jp_full, z_prev_norm, in_front)`` with the
+    previous-frame coordinates in FULL-RES index units; the half-grid
+    bilinear sample coordinate is ``ip_full / 2`` (half texel k sits at
+    full index coord 2k).
+    """
+    depth_l1 = np.asarray(depth_l1, dtype=np.float64)
+    m = np.asarray(motion, dtype=np.float64)
+    if m.shape != (4, 4):
+        raise ValueError(f"motion must be 4x4, got {m.shape}")
+    h1, w1 = depth_l1.shape
+    tanh = float(camera.tan_half_fov_h)
+    tan_v = tanh * h0 / w0
+    # rays of the retained full-res texels: full index coords (2i, 2j)
+    u = (2.0 * (2.0 * np.arange(w1, dtype=np.float64) + 0.5) / w0) - 1.0
+    v = 1.0 - 2.0 * (2.0 * np.arange(h1, dtype=np.float64) + 0.5) / h0
+    xr = np.broadcast_to(u[None, :] * tanh, (h1, w1))
+    yr = np.broadcast_to(v[:, None] * tan_v, (h1, w1))
+    z = depth_l1 * float(camera.far)
+    x, y = xr * z, yr * z
+    xp = m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3]
+    yp = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3]
+    zp = m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+    in_front = zp > 0.0
+    zs = np.where(in_front, zp, 1.0)
+    up = xp / (zs * tanh)
+    vp = yp / (zs * tan_v)
+    jp = (up + 1.0) * 0.5 * w0 - 0.5
+    ip = (1.0 - vp) * 0.5 * h0 - 0.5
+    return ip, jp, zp / float(camera.far), in_front
+
+
+def temporal_resolve_l1_golden(
+    curr_ao1: np.ndarray,
+    curr_d1: np.ndarray,
+    prev_ao1: np.ndarray,
+    prev_d1: np.ndarray,
+    h0: int,
+    w0: int,
+    camera: GoldenCameraParams,
+    tparams: GoldenTemporalParams,
+    motion: np.ndarray | None = None,
+) -> np.ndarray:
+    """Half-res temporal resolve: the spec formula applied at LEVEL 1.
+
+    All four fields are the (ceil(h0/2), ceil(w0/2)) pick-one half-res
+    planes of an (h0, w0) frame (the pipeline's level-1 combined AO and
+    depth-pyramid level 1, cropped to true half dims).  Semantics match
+    ``temporal_resolve_golden`` texel-for-texel with these mappings:
+
+    * reprojection uses the TRUE full-res ray of each retained texel
+      (``reproject_coords_l1``); history is sampled bilinearly on the
+      half grid at ``(ip_full/2, jp_full/2)``;
+    * ``max_displacement`` keeps its full-res-pixel meaning: validity is
+      ``|ip_full - 2i| <= R`` (identical motion bound as the full-res
+      spec), which the half-grid windowed TPU form covers with a
+      ``ceil(R/2)`` tap radius;
+    * frame-rectangle validity tests the full-res frame rectangle;
+    * the anti-ghosting clamp is the 3x3 envelope of the CURRENT half-res
+      AO (a 3x3 half-res neighborhood spans ~5x5 full-res texels --
+      slightly wider, strictly safer against ghosting).
+
+    Returns the resolved half-res AO; the caller's next history state is
+    ``(resolved, curr_d1)``.  The full-res frame is produced by lifting the
+    resolved field through the standard final bilateral upsample
+    (``render_frame_l1_temporal_golden``) -- temporal smoothing rides the
+    depth-aware lift the chain already pays for, so the resolve itself
+    touches 4x fewer texels than the full-res spec.
+    """
+    curr_ao1 = np.asarray(curr_ao1, dtype=np.float64)
+    curr_d1 = np.asarray(curr_d1, dtype=np.float64)
+    prev_ao1 = np.asarray(prev_ao1, dtype=np.float64)
+    prev_d1 = np.asarray(prev_d1, dtype=np.float64)
+    h1, w1 = curr_ao1.shape
+
+    if motion is None:
+        hist = prev_ao1
+        d_hist = prev_d1
+        expected = curr_d1
+        valid = np.ones((h1, w1), dtype=np.float64)
+    else:
+        ip_f, jp_f, z_prev, in_front = reproject_coords_l1(
+            curr_d1, h0, w0, camera, motion)
+        hist = bilinear_sample(prev_ao1, ip_f / 2.0, jp_f / 2.0)
+        d_hist = bilinear_sample(prev_d1, ip_f / 2.0, jp_f / 2.0)
+        expected = z_prev
+        valid = (
+            in_front
+            & (ip_f >= -0.5) & (ip_f <= h0 - 0.5)
+            & (jp_f >= -0.5) & (jp_f <= w0 - 0.5)
+        )
+        if tparams.max_displacement is not None:
+            r = float(tparams.max_displacement)
+            ii = 2.0 * np.arange(h1, dtype=np.float64)[:, None]
+            jj = 2.0 * np.arange(w1, dtype=np.float64)[None, :]
+            valid = valid & (np.abs(ip_f - ii) <= r) & (np.abs(jp_f - jj) <= r)
+        valid = valid.astype(np.float64)
+
+    rel_err = np.abs(d_hist - expected) / np.maximum(expected, 1e-6)
+    conf = np.clip(1.0 - rel_err / float(tparams.depth_tolerance), 0.0, 1.0)
+    alpha = float(tparams.history_weight) * valid * conf
+    if tparams.neighborhood_clamp:
+        lo, hi = neighborhood_bounds(curr_ao1)
+        hist = np.clip(hist, lo, hi)
+    return alpha * hist + (1.0 - alpha) * curr_ao1
+
+
+def render_frame_l1_temporal_golden(
+    depth: np.ndarray,
+    state,
+    camera: GoldenCameraParams,
+    params,
+    tparams: GoldenTemporalParams,
+    motion: np.ndarray | None = None,
+    normals: np.ndarray | None = None,
+):
+    """Frame + LEVEL-1 temporal resolve oracle: pipeline to the level-1
+    combined AO (post pre-min), resolve at half res, then the standard
+    final bilateral upsample lifts the resolved field to full res.
+
+    ``state`` is the half-res ``(ao, depth)`` history (or None -- null
+    history), at the TRUE half dims ``(ceil(H/2), ceil(W/2))``.  Returns
+    ``(full_res_ao, new_state)``.
+    """
+    from tpuao.golden.reference import blur_upsample_step, render_frame_golden
+    from tpuao.params import padded_shape
+
+    depth = np.asarray(depth, dtype=np.float64)
+    h0, w0 = depth.shape
+    hp, wp = padded_shape(h0, w0)
+    h1, w1 = -(-h0 // 2), -(-w0 // 2)
+    if state is None:
+        state = (np.ones((h1, w1), dtype=np.float64),
+                 np.full((h1, w1), NULL_DEPTH, dtype=np.float64))
+    _, dbg = render_frame_golden(depth, camera, params, normals,
+                                 return_debug=True)
+    d = params.hierarchy_depth
+    aos1 = dbg["ao_levels"][1]
+    if params.enable_blur and d > 1:
+        # the final chain step's pre-min combine, applied before the resolve
+        cur1 = np.minimum(dbg["combined_1"], aos1)
+    else:
+        cur1 = aos1
+    cur1c = cur1[:h1, :w1]
+    d1c = dbg["pyramid"][1][:h1, :w1]
+    resolved = temporal_resolve_l1_golden(cur1c, d1c, state[0], state[1],
+                                          h0, w0, camera, tparams, motion)
+    rp = np.pad(resolved, ((0, hp // 2 - h1), (0, wp // 2 - w1)),
+                mode="edge")
+    if params.enable_blur:
+        # final step WITHOUT lo_ao2: the pre-min was applied above, before
+        # the resolve (resolving the pre-min field, not re-min-ing after,
+        # keeps the clamp envelope consistent with what gets lifted)
+        out = blur_upsample_step(rp, dbg["pyramid"][1], dbg["pyramid"][0],
+                                 params, wp)
+    else:
+        out = np.repeat(np.repeat(rp, 2, axis=0), 2, axis=1)
+    # sequence contract: history depth is the CURRENT frame's half-res
+    # linear depth (pyramid level 1 = pick-one downsample of LinearZ)
+    return out[:h0, :w0], (resolved, d1c)
 
 
 def render_sequence_golden(

@@ -320,22 +320,75 @@ from tpuao.ops import temporal as T  # noqa: E402
 
 
 def _temporal_frame_core(depth, prev_ao, prev_depth, motion, camera, params,
-                         tparams, normals, color, impl: str, out_dtype: str):
+                         tparams, normals, color, impl: str, out_dtype: str,
+                         resolve_level: int = 0):
     """Jit-traceable core: frame pipeline + temporal resolve in ONE program.
 
     The pipeline's full-res linear depth is read out of the debug dict --
     under jit the unused debug entries are dead code and cost nothing, so
     this reuses the already-computed LinearZ instead of linearizing twice.
     Returns ``(output, (resolved_ao, linear_depth))``; the state tuple is
-    always f32 full-res regardless of ``out_dtype``/``color``.
+    always f32 regardless of ``out_dtype``/``color``.
+
+    ``resolve_level=0`` is the spec resolve (full res, golden
+    ``temporal_resolve_golden``); ``resolve_level=1`` applies the resolve
+    to the LEVEL-1 combined AO before the final bilateral upsample lifts
+    it (golden ``render_frame_l1_temporal_golden``) -- the history state
+    is then half-res ``(ceil(H/2), ceil(W/2))`` and the resolve touches
+    1/4 the texels with a ceil(R/2) window.  Under jit the pipeline's own
+    final upsample (computed on the UNresolved field) is dead code; only
+    the re-issued step on the resolved field is compiled.
     """
     h0, w0 = depth.shape[-2:]
     ao, dbg = ao_pipeline(depth, camera, params, normals, impl=impl)
-    linz = dbg["linear_z"][..., :h0, :w0]
-    resolved = T.temporal_resolve(ao, linz, prev_ao, prev_depth, camera,
-                                  tparams, motion, impl=impl)
-    out = resolved if color is None else C.composite(color, resolved)
-    return _quantize(out, out_dtype), (resolved, linz)
+    if resolve_level == 0:
+        linz = dbg["linear_z"][..., :h0, :w0]
+        resolved = T.temporal_resolve(ao, linz, prev_ao, prev_depth, camera,
+                                      tparams, motion, impl=impl)
+        out, state = resolved, (resolved, linz)
+    else:
+        out, state = _resolve_l1_and_lift(dbg, prev_ao, prev_depth, motion,
+                                          camera, params, tparams, h0, w0,
+                                          impl)
+    out = out if color is None else C.composite(color, out)
+    return _quantize(out, out_dtype), state
+
+
+def _resolve_l1_and_lift(dbg, prev_ao1, prev_d1, motion, camera, params,
+                         tparams, h0: int, w0: int, impl: str):
+    """Level-1 resolve + final lift (spec: golden
+    ``render_frame_l1_temporal_golden``).  Takes ``ao_pipeline``'s debug
+    dict (level-1 combined AO pre-final-step, AO levels, depth pyramid);
+    returns ``(full_res_ao, (resolved_l1, d1))``."""
+    if impl == "fused":
+        raise ValueError("resolve_level=1 needs the level-1 AO as a "
+                         "separate buffer; impl='fused' renders it inside "
+                         "the fused chain kernel -- use impl='auto'")
+    hp, wp = padded_shape(h0, w0)
+    h1, w1 = -(-h0 // 2), -(-w0 // 2)
+    d = params.hierarchy_depth
+    aos1 = dbg["ao_levels"][1]
+    if params.enable_blur and d > 1:
+        cur1 = jnp.minimum(dbg["combined_1"], aos1)
+    else:
+        cur1 = aos1
+    cur1c = cur1[..., :h1, :w1]
+    d1c = dbg["pyramid"][1][..., :h1, :w1]
+    resolved = T.temporal_resolve_l1(cur1c, d1c, prev_ao1, prev_d1, h0, w0,
+                                     camera, tparams, motion, impl=impl)
+    rp = _pad_to_64(resolved, hp // 2, wp // 2)  # edge-pad back to l1 dims
+    if params.enable_blur:
+        out = U.blur_upsample_step(rp, dbg["pyramid"][1], dbg["pyramid"][0],
+                                   params, wp, crop_hw=(h0, w0))
+        if out.shape[-2:] != (h0, w0):
+            out = out[..., :h0, :w0]
+    else:
+        if h0 % 2 == 0 and w0 % 2 == 0:
+            a = rp[..., : h0 // 2, : w0 // 2]
+            out = U.interleave2x2(a, a, a, a)
+        else:
+            out = U.interleave2x2(rp, rp, rp, rp)[..., :h0, :w0]
+    return out, (resolved, d1c)
 
 
 @functools.lru_cache(maxsize=None)
@@ -343,14 +396,23 @@ def _temporal_frame_jit_for_backend(backend: str, kib: int):
     opts = ({"xla_tpu_scoped_vmem_limit_kib": str(kib)}
             if backend == "tpu" and kib else None)
     return jax.jit(_temporal_frame_core,
-                   static_argnames=("impl", "out_dtype"),
+                   static_argnames=("impl", "out_dtype", "resolve_level"),
                    compiler_options=opts)
+
+
+def _temporal_state_shape(h0: int, w0: int, resolve_level: int):
+    """History-state dims for a given resolve level (level 1 keeps the
+    half-res history)."""
+    if resolve_level == 0:
+        return h0, w0
+    return -(-h0 // 2), -(-w0 // 2)
 
 
 def render_frame_temporal(depth, state=None, camera=None, params=None,
                           tparams=None, motion=None, normals=None,
                           color=None, impl: str = "auto",
-                          out_dtype: str = "float32"):
+                          out_dtype: str = "float32",
+                          resolve_level: int = 0):
     """One temporally-accumulated frame: pipeline + resolve, one program.
 
     ``state`` is the ``(ao, depth)`` history from the previous call (or
@@ -358,6 +420,12 @@ def render_frame_temporal(depth, state=None, camera=None, params=None,
     its own single-frame AO).  ``motion`` is the current->previous eye
     transform (4x4; ``tpuao.utils.camera.relative_motion``), or None for a
     static camera (gather-free).  Returns ``(output, new_state)``.
+
+    ``resolve_level`` is a static structure knob: 0 (default) resolves at
+    full res (the golden spec); 1 resolves the level-1 AO before the final
+    bilateral upsample -- ~4x less resolve work and a half-res history
+    state, at the cost of half-res temporal smoothing (measured quality
+    delta: docs/PERF.md 'temporal').
     """
     camera = camera or CameraParams()
     params = params or AOParams()
@@ -368,8 +436,17 @@ def render_frame_temporal(depth, state=None, camera=None, params=None,
         raise ValueError("temporal accumulation is per-sequence: depth must "
                          f"be a single (H, W) frame, got {depth.shape} "
                          "(batch independent sequences with jax.vmap)")
+    if resolve_level not in (0, 1):
+        raise ValueError(f"resolve_level must be 0 or 1, "
+                         f"got {resolve_level!r}")
+    hs, ws = _temporal_state_shape(h0, w0, resolve_level)
     if state is None:
-        state = T.initial_state(h0, w0)
+        state = T.initial_state(hs, ws)
+    elif tuple(state[0].shape[-2:]) != (hs, ws):
+        raise ValueError(
+            f"state shape {tuple(state[0].shape[-2:])} does not match "
+            f"resolve_level={resolve_level} (expected {(hs, ws)}) -- a "
+            "sequence must keep one resolve_level throughout")
     if normals is not None:
         normals = jnp.asarray(normals)
     if color is not None:
@@ -382,23 +459,25 @@ def render_frame_temporal(depth, state=None, camera=None, params=None,
            if backend == "tpu" else 0)
     fn = _temporal_frame_jit_for_backend(backend, kib)
     return fn(depth, state[0], state[1], motion, camera, params, tparams,
-              normals, color, impl=impl, out_dtype=out_dtype)
+              normals, color, impl=impl, out_dtype=out_dtype,
+              resolve_level=resolve_level)
 
 
 def _sequence_scan_core(depths, motions, normals, camera, params, tparams,
-                        impl: str, out_dtype: str, init=None):
+                        impl: str, out_dtype: str, init=None,
+                        resolve_level: int = 0):
     """``init`` overrides the null history -- used by the view-sharded
     fleet driver, where the scan carry must be ``pcast`` to the mesh
     axis's varying type (shard_map rejects an invariant carry)."""
     h0, w0 = depths.shape[-2:]
     if init is None:
-        init = T.initial_state(h0, w0)
+        init = T.initial_state(*_temporal_state_shape(h0, w0, resolve_level))
 
     def step(carry, xs):
         depth, motion, nrm = xs
         out, carry = _temporal_frame_core(
             depth, carry[0], carry[1], motion, camera, params, tparams,
-            nrm, None, impl, out_dtype)
+            nrm, None, impl, out_dtype, resolve_level)
         return carry, out
 
     xs = (depths, motions, normals)
@@ -411,13 +490,14 @@ def _sequence_scan_jit_for_backend(backend: str, kib: int):
     opts = ({"xla_tpu_scoped_vmem_limit_kib": str(kib)}
             if backend == "tpu" and kib else None)
     return jax.jit(_sequence_scan_core,
-                   static_argnames=("impl", "out_dtype"),
+                   static_argnames=("impl", "out_dtype", "resolve_level"),
                    compiler_options=opts)
 
 
 def render_sequence_temporal(depths, camera=None, params=None, tparams=None,
                              motions=None, normals=None, impl: str = "auto",
-                             out_dtype: str = "float32"):
+                             out_dtype: str = "float32",
+                             resolve_level: int = 0):
     """Temporally-accumulated sequence as ONE ``lax.scan`` program.
 
     ``depths`` is (T, H, W); ``motions`` is None (static camera) or
@@ -426,8 +506,12 @@ def render_sequence_temporal(depths, camera=None, params=None, tparams=None,
     blend).  The whole sequence compiles to a single XLA program -- zero
     host round-trips between frames, which matters on dispatch-taxed
     links (docs/PERF.md: this relay charges ~3.3 ms per extra launch).
-    Returns the (T, H, W) resolved stack.
+    Returns the (T, H, W) resolved stack.  ``resolve_level``: see
+    ``render_frame_temporal`` (0 = full-res spec, 1 = half-res level-1).
     """
+    if resolve_level not in (0, 1):
+        raise ValueError(f"resolve_level must be 0 or 1, "
+                         f"got {resolve_level!r}")
     camera = camera or CameraParams()
     params = params or AOParams()
     tparams = tparams or TemporalParams()
@@ -449,7 +533,7 @@ def render_sequence_temporal(depths, camera=None, params=None, tparams=None,
            if backend == "tpu" else 0)
     fn = _sequence_scan_jit_for_backend(backend, kib)
     return fn(depths, motions, normals, camera, params, tparams,
-              impl=impl, out_dtype=out_dtype)
+              impl=impl, out_dtype=out_dtype, resolve_level=resolve_level)
 
 
 class AmbientOcclusionEngine:

@@ -712,21 +712,35 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
 def _windowed_resolve_kernel(r, R, w, refs_ref, di_ref, dj_ref, o_ref):
     """Tent-weighted (2R+2)^2 shifted-window sum over a VMEM-resident
     history tile (the gather-free bilinear of ops/temporal.py, one row
-    tile per grid step).  All window offsets are STATIC slices of the
-    resident (2, R+2p, w+2p) stack -- the same zero-gather stencil shape
-    as the render kernel; per-pixel tent weights are plain VPU math."""
+    tile per grid step).  Row offsets ride a ``fori_loop`` whose body
+    loads ONE row band from the VMEM ref and unrolls the 2R+2 column
+    taps as static slices of that band.
+
+    The original form pre-loaded the whole (2, R+2p, w+2p) window as a
+    VALUE and unrolled all (2R+2)^2 taps: at R=4/1080p Mosaic's register
+    allocator needed 263 MB of spill slots (>2x the 128 MB VMEM) -- a
+    hard compile error that earlier presented as the r4 'hung remote
+    compile'.  Looping the row offset bounds the live set to one band +
+    the two accumulators."""
     p = r + 1
-    s = refs_ref[0]          # (2, R + 2p, w + 2p) padded history stack
     di = di_ref[0]           # (R, w) row displacement rel. to each pixel
     dj = dj_ref[0]
-    acc_a = jnp.zeros((R, w), jnp.float32)
-    acc_d = jnp.zeros((R, w), jnp.float32)
-    for oy in range(-r, r + 2):
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(di - oy))
+
+    def body(y, accs):
+        acc_a, acc_d = accs
+        oyf = y.astype(jnp.float32) - r
+        # rows p+oy .. p+oy+R with oy = y - r and p = r + 1  ->  start y+1
+        band = refs_ref[0, :, pl.dslice(y + 1, R), :]  # (2, R, w + 2p)
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(di - oyf))
         for ox in range(-r, r + 2):
             t = ty * jnp.maximum(0.0, 1.0 - jnp.abs(dj - ox))
-            acc_a = acc_a + t * s[0, p + oy: p + oy + R, p + ox: p + ox + w]
-            acc_d = acc_d + t * s[1, p + oy: p + oy + R, p + ox: p + ox + w]
+            acc_a = acc_a + t * band[0, :, p + ox: p + ox + w]
+            acc_d = acc_d + t * band[1, :, p + ox: p + ox + w]
+        return acc_a, acc_d
+
+    acc_a, acc_d = jax.lax.fori_loop(
+        0, 2 * r + 2, body,
+        (jnp.zeros((R, w), jnp.float32), jnp.zeros((R, w), jnp.float32)))
     o_ref[0, 0] = acc_a
     o_ref[0, 1] = acc_d
 

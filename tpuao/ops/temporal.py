@@ -47,6 +47,7 @@ __all__ = [
     "NULL_DEPTH",
     "initial_state",
     "temporal_resolve",
+    "temporal_resolve_l1",
 ]
 
 # Matches golden/temporal.py: any real normalized depth (<= 1) is rejected
@@ -234,3 +235,92 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
         lo, hi = _neighborhood_bounds(curr_ao)
         hist = jnp.clip(hist, lo, hi)
     return alpha * hist + (1.0 - alpha) * curr_ao
+
+
+def _reproject_coords_l1(depth_l1, h0: int, w0: int, camera, motion):
+    """Traced mirror of golden ``reproject_coords_l1``: reprojection for
+    the pick-one HALF-RES field of an (h0, w0) frame.  Half texel (i, j)
+    holds full-res texel (2i, 2j), so its eye ray passes through full-res
+    index coordinate (2i, 2j) of the TRUE frame.  Returns full-res-unit
+    previous coords ``(ip_f, jp_f, z_prev_norm, in_front)``; the half-grid
+    sample coordinate is ``ip_f / 2``."""
+    h1, w1 = depth_l1.shape[-2:]
+    tanh = camera.tan_half_fov_h
+    tan_v = tanh * (h0 / w0)
+    far = camera.far
+    u = (2.0 * (2.0 * jnp.arange(w1, dtype=jnp.float32) + 0.5) / w0) - 1.0
+    v = 1.0 - 2.0 * (2.0 * jnp.arange(h1, dtype=jnp.float32) + 0.5) / h0
+    z = depth_l1 * far
+    x = (u[None, :] * tanh) * z
+    y = (v[:, None] * tan_v) * z
+    m = motion.astype(jnp.float32)
+    xp = m[0, 0] * x + m[0, 1] * y + m[0, 2] * z + m[0, 3]
+    yp = m[1, 0] * x + m[1, 1] * y + m[1, 2] * z + m[1, 3]
+    zp = m[2, 0] * x + m[2, 1] * y + m[2, 2] * z + m[2, 3]
+    in_front = zp > 0.0
+    zs = jnp.where(in_front, zp, 1.0)
+    jp = ((xp / (zs * tanh)) + 1.0) * (0.5 * w0) - 0.5
+    ip = (1.0 - (yp / (zs * tan_v))) * (0.5 * h0) - 0.5
+    return ip, jp, zp / far, in_front
+
+
+def temporal_resolve_l1(curr_ao1, curr_d1, prev_ao1, prev_d1, h0: int,
+                        w0: int, camera, tparams, motion=None,
+                        impl: str = "auto"):
+    """Half-res temporal resolve (spec: golden ``temporal_resolve_l1_
+    golden``): the resolve formula applied to the LEVEL-1 combined AO and
+    depth-pyramid level 1 of an (h0, w0) frame, both cropped to the true
+    half dims ``(ceil(h0/2), ceil(w0/2))``.
+
+    ``max_displacement`` keeps its full-res-pixel meaning; the half-grid
+    displacement is bounded by R/2, so the gather-free windowed sample
+    needs only a ``ceil(R/2)`` tap radius on 1/4 of the texels --
+    ~(2*ceil(R/2)+2)^2/4 vs (2R+2)^2 of the full-res resolve's window work
+    (R=4: 36 taps on quarter texels vs 100 on full, ~11x less window
+    work).  The full-res frame is produced by lifting the resolved field
+    through the final bilateral upsample the pipeline already pays for
+    (models/pipeline.py ``resolve_level=1``).
+    """
+    curr_ao1 = curr_ao1.astype(jnp.float32)
+    curr_d1 = curr_d1.astype(jnp.float32)
+    prev_ao1 = prev_ao1.astype(jnp.float32)
+    prev_d1 = prev_d1.astype(jnp.float32)
+    h1, w1 = curr_ao1.shape[-2:]
+
+    if motion is None:
+        hist, d_hist = prev_ao1, prev_d1
+        expected = curr_d1
+        valid = 1.0
+    else:
+        ip_f, jp_f, z_prev, in_front = _reproject_coords_l1(
+            curr_d1, h0, w0, camera, jnp.asarray(motion))
+        r = tparams.max_displacement
+        ip_h, jp_h = ip_f * 0.5, jp_f * 0.5
+        if r is None:
+            hist, d_hist = _bilinear_gather2(prev_ao1, prev_d1, ip_h, jp_h)
+        elif impl == "pallas":
+            from tpuao.ops.pallas_kernels import windowed_resolve
+
+            hist, d_hist = windowed_resolve(prev_ao1, prev_d1, ip_h, jp_h,
+                                            -(-int(r) // 2))
+        else:
+            hist, d_hist = _bilinear_windowed2(prev_ao1, prev_d1, ip_h,
+                                               jp_h, -(-int(r) // 2))
+        expected = z_prev
+        valid = (in_front
+                 & (ip_f >= -0.5) & (ip_f <= h0 - 0.5)
+                 & (jp_f >= -0.5) & (jp_f <= w0 - 0.5))
+        if r is not None:
+            rf = float(r)
+            di = ip_f - 2.0 * jnp.arange(h1, dtype=jnp.float32)[:, None]
+            dj = jp_f - 2.0 * jnp.arange(w1, dtype=jnp.float32)[None, :]
+            valid = valid & (jnp.abs(di) <= rf) & (jnp.abs(dj) <= rf)
+        valid = valid.astype(jnp.float32)
+
+    rel_err = jnp.abs(d_hist - expected) / jnp.maximum(expected, 1e-6)
+    conf = jnp.clip(1.0 - rel_err / tparams.depth_tolerance, 0.0, 1.0)
+    alpha = tparams.history_weight * valid * conf
+    if tparams.neighborhood_clamp:
+        lo, hi = _neighborhood_bounds(curr_ao1)
+        hist = jnp.clip(hist, lo, hi)
+    return alpha * hist + (1.0 - alpha) * curr_ao1
