@@ -690,8 +690,19 @@ def main():
             return _temporal_frame_core(d, prev_ao, prev_d, mo, cam, p2,
                                         tp, None, None, impl, "float32")
 
+        # level-1 (half-res) resolve: the moving-camera fast path
+        # (VERDICT r4 item 2; golden render_frame_l1_temporal_golden)
+        h1, w1 = -(-h // 2), -(-w // 2)
+        prev1, _ = TT.initial_state(h1, w1)
+        prev1_d = jnp.asarray(jnp.zeros((h1, w1), jnp.float32)) + 0.5
+
+        def fmove_l1(d):
+            return _temporal_frame_core(d, prev1, prev1_d, mo, cam, p2,
+                                        tp, None, None, impl, "float32", 1)
+
         ms_s = device_time_ms(fstat, zd, iters=REPS)
         ms_m = device_time_ms(fmove, zd, iters=REPS)
+        ms_l1 = device_time_ms(fmove_l1, zd, iters=REPS)
         t_n = 8
         depths = jnp.stack([zd] * t_n)
         motions = jnp.stack([mo] * t_n)
@@ -702,8 +713,10 @@ def main():
         results["temporal_1080p"] = {
             "ms_frame_plus_resolve_static": round(ms_s, 4),
             "ms_frame_plus_resolve_windowed": round(ms_m, 4),
+            "ms_frame_plus_resolve_l1_windowed": round(ms_l1, 4),
             "resolve_overhead_static_ms": round(ms_s - ms2, 4),
             "resolve_overhead_windowed_ms": round(ms_m - ms2, 4),
+            "resolve_overhead_l1_windowed_ms": round(ms_l1 - ms2, 4),
             "max_displacement": tp.max_displacement,
             "scan8_ms_per_frame": round(ms_seq / t_n, 4),
         }

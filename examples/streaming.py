@@ -2,7 +2,7 @@
 """Streaming demo: PFM frames on disk -> prefetched batches -> AO frames.
 
     python examples/streaming.py [HxW] [n_frames] [out_dir]
-                                 [--normals | --temporal]
+                                 [--normals | --temporal [--l1]]
 
 Simulates a renderer dropping frames as PFM files, then drives the engine
 over them with the native threaded loader one batch ahead of the device
@@ -41,8 +41,11 @@ def main(argv):
     args = [a for a in argv[1:] if not a.startswith("--")]
     with_normals = "--normals" in argv
     temporal = "--temporal" in argv
+    resolve_level = 1 if "--l1" in argv else 0
     if with_normals and temporal:
         raise SystemExit("pick --normals or --temporal")
+    if resolve_level and not temporal:
+        raise SystemExit("--l1 modifies --temporal")
     size = args[0] if len(args) > 0 else "360x640"
     n_frames = int(args[1]) if len(args) > 1 else 8
     if n_frames < 1:
@@ -54,7 +57,7 @@ def main(argv):
 
     cam = CameraParams(depth_mode="linear")
     if temporal:
-        return _main_temporal(cam, h, w, n_frames, out_dir)
+        return _main_temporal(cam, h, w, n_frames, out_dir, resolve_level)
     # "renderer output": PFM file(s) per frame (camera orbits -> seeds)
     yy, xx = np.meshgrid(np.linspace(0.35, 1.0, h),
                          np.linspace(0.55, 1.0, w), indexing="ij")
@@ -100,8 +103,9 @@ def main(argv):
           f"wrote {out_dir}/ao_last.png")
 
 
-def _main_temporal(cam, h, w, n_frames, out_dir):
-    """One world scene, dollying camera, stateful temporal accumulation."""
+def _main_temporal(cam, h, w, n_frames, out_dir, resolve_level=0):
+    """One world scene, dollying camera, stateful temporal accumulation
+    (``--l1``: half-res level-1 resolve, the moving-camera fast path)."""
     from tpuao.models.pipeline import TemporalAOEngine
 
     step = 0.05
@@ -116,7 +120,8 @@ def _main_temporal(cam, h, w, n_frames, out_dir):
         v[:3, 3] = [-e[0], -e[1], -e[2]]  # world->eye = translation(-eye)
         return v
 
-    eng = TemporalAOEngine(cam, out_dtype="uint8")
+    eng = TemporalAOEngine(cam, out_dtype="uint8",
+                           resolve_level=resolve_level)
     t0 = time.perf_counter()
     # one frame per batch: temporal state is strictly sequential, the
     # prefetcher still hides the disk decode behind the device render

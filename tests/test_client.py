@@ -369,3 +369,49 @@ def test_temporal_session_validation_no_round_trip(base, server, scene):
     with pytest.raises(ValueError):
         ses.render(z, nonsense=1.0)
     assert server.stats["requests"] == before
+
+
+def test_temporal_session_resolve_level(base, scene):
+    """resolve_level=1 sessions ride the half-res level-1 resolve: parity
+    with a local resolve_level=1 engine, fixed-per-session enforcement,
+    and stateless rejection."""
+    import urllib.error
+    import urllib.request
+
+    from tpuao.models.pipeline import TemporalAOEngine
+    from tpuao.params import CameraParams
+    from tpuao.utils import fixtures as F
+
+    c = AOClient(base)
+    frames = [F.spheres_on_plane(64, 96, n_spheres=2, seed=s
+                                 ).astype(np.float32) for s in (7, 8)]
+    eng = TemporalAOEngine(CameraParams(depth_mode="linear"),
+                           resolve_level=1)
+    with c.session("l1-stream", resolve_level=1) as ses:
+        for k, z in enumerate(frames):
+            v = np.eye(4)
+            v[0, 3] = 0.03 * k
+            got = ses.render(z, view=v)
+            want = np.asarray(eng.render(z, view=v))
+            np.testing.assert_allclose(got, want, atol=1e-6)
+        # mid-stream level change -> 400 (fixed per session, like camera)
+        from tpuao.utils.frameio import dumps_pfm
+
+        try:
+            urllib.request.urlopen(urllib.request.Request(
+                f"{base}/ao?session=l1-stream&resolve_level=0",
+                data=dumps_pfm(frames[0])))
+            assert False, "expected 400 for mid-stream level change"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    # stateless resolve_level -> 400
+    from tpuao.utils.frameio import dumps_pfm
+
+    try:
+        urllib.request.urlopen(urllib.request.Request(
+            f"{base}/ao?resolve_level=1", data=dumps_pfm(frames[0])))
+        assert False, "expected 400 for stateless resolve_level"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    with pytest.raises(ValueError):
+        c.session(resolve_level=2)

@@ -104,6 +104,10 @@ def _build_parser() -> argparse.ArgumentParser:
     r.add_argument("--no-temporal-clamp", action="store_true",
                    help="--temporal: disable the 3x3 anti-ghosting "
                    "neighborhood clamp")
+    r.add_argument("--resolve-level", type=int, default=0, choices=(0, 1),
+                   help="--temporal: 0 = full-res spec resolve (default), "
+                   "1 = half-res level-1 resolve (the moving-camera fast "
+                   "path: ~10x less resolve overhead, half-res history)")
 
     r.add_argument("--autotune-cache", metavar="PATH",
                    help="load per-shape scoped-VMEM budgets tuned by "
@@ -603,7 +607,8 @@ def _render_sequence_temporal(a, dpaths, streams, camera, params) -> int:
         depth_tolerance=(0.1 if a.depth_tolerance is None
                          else a.depth_tolerance),
         neighborhood_clamp=not a.no_temporal_clamp).validate()
-    eng = TemporalAOEngine(camera, params, tparams=tp, impl=a.impl)
+    eng = TemporalAOEngine(camera, params, tparams=tp, impl=a.impl,
+                           resolve_level=a.resolve_level)
 
     bs = max(1, a.batch)
     batches = []

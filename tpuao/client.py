@@ -244,17 +244,21 @@ class AOClient:
     # -- temporal sessions ---------------------------------------------------
 
     def session(self, session_id: str | None = None,
+                resolve_level: int = 0,
                 **camera_overrides) -> "TemporalSession":
         """Open a handle on a server temporal session (``?session=``).
 
         ``camera_overrides`` (``near``/``far``/``fov``) bind at session
         creation -- the server rejects camera changes mid-stream (the
-        reprojection assumes one camera per sequence).  Use as a context
-        manager to DELETE the server-side history on exit."""
+        reprojection assumes one camera per sequence).
+        ``resolve_level=1`` selects the server's half-res level-1
+        resolve (the moving-camera fast path; fixed per session like the
+        camera).  Use as a context manager to DELETE the server-side
+        history on exit."""
         import uuid
 
         return TemporalSession(self, session_id or uuid.uuid4().hex,
-                               camera_overrides)
+                               camera_overrides, resolve_level)
 
 
 class TemporalSession:
@@ -279,13 +283,21 @@ class TemporalSession:
     transport fault, call ``reset()`` and re-stream from a key frame.
     """
 
-    def __init__(self, client: AOClient, session_id: str, cam: dict):
+    def __init__(self, client: AOClient, session_id: str, cam: dict,
+                 resolve_level: int = 0):
         self.client = client
         self.id = session_id
         for k in cam:
             if k not in _CAMERA_KEYS:
                 raise ValueError(f"unknown camera override {k!r}")
         self._cam = {k: repr(float(v)) for k, v in cam.items()}
+        if resolve_level not in (0, 1):
+            raise ValueError(f"resolve_level must be 0 or 1, "
+                             f"got {resolve_level!r}")
+        if resolve_level:
+            # rides every frame like the camera: a TTL-evicted stream
+            # must rebind the same history resolution on resume
+            self._cam["resolve_level"] = str(resolve_level)
         self._pending_reset = False
         self._closed = False
         self.last_frame_index = None

@@ -660,16 +660,37 @@ class TemporalAOEngine(AmbientOcclusionEngine):
     omit it (or pass ``motion`` directly) for a static camera.  ``reset()``
     drops history (scene cut).  Tunables ride as traced scalars like the
     base engine's; ``neighborhood_clamp`` is static.
+
+    ``resolve_level`` (static): 0 = full-res spec resolve, 1 = half-res
+    level-1 resolve (see ``render_frame_temporal``); a change drops the
+    history (the state shape differs between levels).
     """
 
     def __init__(self, camera: CameraParams | None = None,
                  params: AOParams | None = None,
                  tparams: TemporalParams | None = None,
-                 impl: str = "auto", out_dtype: str = "float32"):
+                 impl: str = "auto", out_dtype: str = "float32",
+                 resolve_level: int = 0):
         super().__init__(camera, params, impl=impl, out_dtype=out_dtype)
         self._tparams = (tparams or TemporalParams()).validate()
+        if resolve_level not in (0, 1):
+            raise ValueError(f"resolve_level must be 0 or 1, "
+                             f"got {resolve_level!r}")
+        self._resolve_level = resolve_level
         self._state = None
         self._prev_view = None
+
+    @property
+    def resolve_level(self) -> int:
+        return self._resolve_level
+
+    @resolve_level.setter
+    def resolve_level(self, value: int):
+        if value not in (0, 1):
+            raise ValueError(f"resolve_level must be 0 or 1, got {value!r}")
+        if value != self._resolve_level:
+            self._resolve_level = value
+            self.reset()  # state shape differs between levels
 
     @property
     def tparams(self) -> TemporalParams:
@@ -709,7 +730,7 @@ class TemporalAOEngine(AmbientOcclusionEngine):
         out, self._state = render_frame_temporal(
             depth, self._state, self.camera, self._params, self._tparams,
             motion=motion, normals=normals, color=color, impl=self.impl,
-            out_dtype=self.out_dtype)
+            out_dtype=self.out_dtype, resolve_level=self._resolve_level)
         return out
 
     __call__ = render

@@ -716,36 +716,36 @@ def _windowed_resolve_kernel(r, R, w, refs_ref, di_ref, dj_ref, o_ref):
     loads ONE row band from the VMEM ref and unrolls the 2R+2 column
     taps as static slices of that band.
 
-    The original form pre-loaded the whole (2, R+2p, w+2p) window as a
-    VALUE and unrolled all (2R+2)^2 taps: at R=4/1080p Mosaic's register
-    allocator needed 263 MB of spill slots (>2x the 128 MB VMEM) -- a
-    hard compile error that earlier presented as the r4 'hung remote
-    compile'.  Looping the row offset bounds the live set to one band +
-    the two accumulators."""
+    Form history (all measured on the live v5e this round):
+
+    * v1 (r4): whole window pre-loaded as a value, all taps unrolled,
+      row_tile=256 -- Mosaic's register allocator needed 263 MB of spill
+      slots (>2x the 128 MB VMEM): hard compile error that presented as
+      the r4 'hung remote compile' (the ~2 MB per-tap temporaries were
+      all scheduled live at once).
+    * v2: ``fori_loop`` over the row offset with a dynamic band load --
+      Mosaic rejects it: a dynamic VMEM slice start in the sublane dim
+      must be provably a multiple of 8, and tent offsets never are.
+    * v3 (this form): static unroll again, but the default ``row_tile``
+      drops to 16 so every tap temporary is (16, w) -- the whole live
+      set fits VMEM/registers without spilling."""
     p = r + 1
+    s = refs_ref[0]          # (2, R + 2p, w + 2p) padded history stack
     di = di_ref[0]           # (R, w) row displacement rel. to each pixel
     dj = dj_ref[0]
-
-    def body(y, accs):
-        acc_a, acc_d = accs
-        oyf = y.astype(jnp.float32) - r
-        # rows p+oy .. p+oy+R with oy = y - r and p = r + 1  ->  start y+1
-        band = refs_ref[0, :, pl.dslice(y + 1, R), :]  # (2, R, w + 2p)
-        ty = jnp.maximum(0.0, 1.0 - jnp.abs(di - oyf))
+    acc_a = jnp.zeros((R, w), jnp.float32)
+    acc_d = jnp.zeros((R, w), jnp.float32)
+    for oy in range(-r, r + 2):
+        ty = jnp.maximum(0.0, 1.0 - jnp.abs(di - oy))
         for ox in range(-r, r + 2):
             t = ty * jnp.maximum(0.0, 1.0 - jnp.abs(dj - ox))
-            acc_a = acc_a + t * band[0, :, p + ox: p + ox + w]
-            acc_d = acc_d + t * band[1, :, p + ox: p + ox + w]
-        return acc_a, acc_d
-
-    acc_a, acc_d = jax.lax.fori_loop(
-        0, 2 * r + 2, body,
-        (jnp.zeros((R, w), jnp.float32), jnp.zeros((R, w), jnp.float32)))
+            acc_a = acc_a + t * s[0, p + oy: p + oy + R, p + ox: p + ox + w]
+            acc_d = acc_d + t * s[1, p + oy: p + oy + R, p + ox: p + ox + w]
     o_ref[0, 0] = acc_a
     o_ref[0, 1] = acc_d
 
 
-def windowed_resolve(prev_ao, prev_d, ip, jp, r: int, row_tile: int = 256):
+def windowed_resolve(prev_ao, prev_d, ip, jp, r: int, row_tile: int = 16):
     """Pallas form of ops/temporal.py::_bilinear_windowed2 (bit-compatible;
     returns ``(hist_ao, hist_depth)``).  One grid step holds a
     (2, row_tile+2p, W+2p) history window resident in VMEM and runs the

@@ -36,6 +36,12 @@ TPU-first notes
 * All confidence/blend math is elementwise and fuses into the surrounding
   program; the 3x3 neighborhood clamp is 8 shifted-slice min/max ops (the
   same shifted-window pattern as the render stencil).
+* ``temporal_resolve_l1`` is the measured moving-camera fast path
+  (r5, docs/PERF.md 'Temporal resolve round 2'): the resolve applied to
+  the LEVEL-1 combined AO before the final bilateral upsample lifts it --
+  half-res history, ceil(R/2) window, +0.19 ms in-frame at 1080p vs the
+  full-res form's +1.94.  Wired as ``resolve_level=1`` on every temporal
+  driver (frame, scan, engine, fleet, serving sessions, CLI).
 """
 
 from __future__ import annotations
@@ -135,7 +141,7 @@ def _bilinear_gather2(ao, d, ip, jp):
     return out[0], out[1]
 
 
-def _bilinear_windowed2(ao, d, ip, jp, r: int):
+def _bilinear_windowed2(ao, d, ip, jp, r: int, unroll: int = 1):
     """Gather-free bilinear sample of both history fields for bounded
     displacements (see module docstring): tent-weighted sum over the
     (2R+2)^2 shifted windows of the edge-padded fields.  Exact wherever
@@ -176,7 +182,8 @@ def _bilinear_windowed2(ao, d, ip, jp, r: int):
         return acc + inner, None
 
     acc, _ = jax.lax.scan(body, jnp.zeros_like(stack),
-                          jnp.arange(-r, r + 2, dtype=jnp.int32))
+                          jnp.arange(-r, r + 2, dtype=jnp.int32),
+                          unroll=unroll)
     return acc[0], acc[1]
 
 

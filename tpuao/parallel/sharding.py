@@ -293,7 +293,8 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
                                       tparams=None, motions=None,
                                       normals=None, mesh: Mesh | None = None,
                                       impl: str = "auto",
-                                      out_dtype: str = "float32"):
+                                      out_dtype: str = "float32",
+                                      resolve_level: int = 0):
     """V independent temporal sequences sharded over the view axis.
 
     The fleet-serving shape of the temporal mode (spec:
@@ -313,6 +314,9 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
     result may come back replicated -- the same inexpressible-uneven-
     sharding caveat as ``render_views_sharded``).  Returns the
     (V, T, H, W) resolved stack, view-sharded when V divides the mesh.
+    ``resolve_level``: see ``render_frame_temporal`` (0 = full-res spec,
+    1 = half-res level-1 resolve; per-chip history carry is then
+    half-res, halving the scan carry traffic too).
     """
     from tpuao.params import TemporalParams
 
@@ -340,7 +344,8 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
             pad_views(depths), camera, params, tparams,
             motions=None if motions is None else pad_views(motions),
             normals=None if normals is None else pad_views(normals),
-            mesh=mesh, impl=impl, out_dtype=out_dtype)
+            mesh=mesh, impl=impl, out_dtype=out_dtype,
+            resolve_level=resolve_level)
         from tpuao.parallel.spatial import crop_rows_sharded
 
         return crop_rows_sharded(out, v, mesh,
@@ -355,12 +360,14 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
     local_px = depths.shape[-2] * depths.shape[-1]
     return _temporal_sharded_jit(
         mesh, motions is not None, normals is not None, impl, local_px,
-        out_dtype)(depths, motions, normals, camera, params, tparams)
+        out_dtype, resolve_level)(depths, motions, normals, camera, params,
+                                  tparams)
 
 
 @functools.lru_cache(maxsize=None)
 def _temporal_sharded_core(mesh: Mesh, with_motions: bool,
-                           with_normals: bool, impl: str, out_dtype: str):
+                           with_normals: bool, impl: str, out_dtype: str,
+                           resolve_level: int = 0):
     """The UN-jitted fleet shard_map (scan-of-scans per chip).  Split out
     of ``_temporal_sharded_jit`` so callers that compose it under their
     own top-level jit (the bench's timing chain) can: jax forbids
@@ -372,14 +379,17 @@ def _temporal_sharded_core(mesh: Mesh, with_motions: bool,
         # scan of the whole-sequence program over the chip's local views;
         # the T-scan's null-history carry must be cast to the view axis's
         # varying type (shard_map rejects a device-invariant scan carry)
+        from tpuao.models.pipeline import _temporal_state_shape
         from tpuao.ops.temporal import initial_state
 
-        init = jax.lax.pcast(initial_state(*d.shape[-2:]), (VIEW_AXIS,),
-                             to="varying")
+        init = jax.lax.pcast(
+            initial_state(*_temporal_state_shape(*d.shape[-2:],
+                                                 resolve_level)),
+            (VIEW_AXIS,), to="varying")
         return scan_optional(
             lambda d_, m_, n_: _sequence_scan_core(
                 d_, m_, n_, camera, params, tparams, impl, out_dtype,
-                init=init),
+                init=init, resolve_level=resolve_level),
             (d, mot, nrm))
 
     return jax.shard_map(
@@ -395,10 +405,11 @@ def _temporal_sharded_core(mesh: Mesh, with_motions: bool,
 
 @functools.lru_cache(maxsize=None)
 def _temporal_sharded_jit(mesh: Mesh, with_motions: bool, with_normals: bool,
-                          impl: str, local_px: int, out_dtype: str):
+                          impl: str, local_px: int, out_dtype: str,
+                          resolve_level: int = 0):
     from tpuao.utils.xla_opts import tpu_compiler_options
 
     sm = _temporal_sharded_core(mesh, with_motions, with_normals, impl,
-                                out_dtype)
+                                out_dtype, resolve_level)
     return jax.jit(sm, compiler_options=tpu_compiler_options(local_px,
                                                              with_normals))

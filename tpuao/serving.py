@@ -184,7 +184,8 @@ class AOHandler(BaseHTTPRequestHandler):
             self._send(200, b"session dropped", "text/plain")
 
     def _render_session(self, sid, depth, normals, color, mat, is_view,
-                        reset, tunables, t_tunables, cam_over):
+                        reset, tunables, t_tunables, cam_over,
+                        resolve_level):
         """One temporal-session frame (under the server render lock).
 
         Returns ``(ao, frame_index)`` -- the index rides back as the
@@ -223,7 +224,8 @@ class AOHandler(BaseHTTPRequestHandler):
                     ses = {"engine": TemporalAOEngine(
                                camera, srv.engine.params,
                                impl=srv.engine.impl,
-                               out_dtype=srv.engine.out_dtype),
+                               out_dtype=srv.engine.out_dtype,
+                               resolve_level=resolve_level),
                            "last": now, "frames": 0, "created": True}
                     srv.sessions[sid] = ses
             if not ses.pop("created", False) and cam_over:
@@ -243,6 +245,14 @@ class AOHandler(BaseHTTPRequestHandler):
                         "new session= (or DELETE first)")
             ses["last"] = now
             engine = ses["engine"]
+            if resolve_level != engine.resolve_level:
+                # like the camera: fixed per session (the history state
+                # shape differs between levels); identical re-sends fine
+                raise ValueError(
+                    "resolve_level is fixed per session (the history "
+                    f"lives at that resolution); this session is level "
+                    f"{engine.resolve_level} -- start a new session= "
+                    "(or DELETE first) to change it")
             # snapshot BEFORE applying reset (advisor r4): a reset frame
             # that fails terminally restores the PRE-reset history and
             # frame counter like any other failed frame
@@ -309,6 +319,11 @@ class AOHandler(BaseHTTPRequestHandler):
             buf_names = q.pop("buffers", None)
             sid = q.pop("session", None)
             reset = q.pop("reset", "0") not in ("0", "", "false")
+            rl_s = q.pop("resolve_level", None)
+            if rl_s is not None and rl_s not in ("0", "1"):
+                raise ValueError("resolve_level must be 0 or 1, "
+                                 f"got {rl_s!r}")
+            resolve_level = int(rl_s or 0)
             view_s = q.pop("view", None)
             motion_s = q.pop("motion", None)
             tunables = {k: float(v) for k, v in q.items()
@@ -322,9 +337,10 @@ class AOHandler(BaseHTTPRequestHandler):
             if unknown:
                 raise ValueError(f"unknown query params: {sorted(unknown)}")
             if sid is None and (reset or view_s is not None
-                                or motion_s is not None or t_tunables):
-                raise ValueError(
-                    "reset/view/motion/temporal tunables need session=")
+                                or motion_s is not None or t_tunables
+                                or rl_s is not None):
+                raise ValueError("reset/view/motion/resolve_level/"
+                                 "temporal tunables need session=")
             if sid is not None and not re.fullmatch(_SESSION_ID_RE, sid):
                 raise ValueError(
                     f"session= must match {_SESSION_ID_RE}")
@@ -384,7 +400,7 @@ class AOHandler(BaseHTTPRequestHandler):
                 ao, frame_idx = self._render_session(
                     sid, depth, normals, color, mat,
                     view_s is not None, reset, tunables, t_tunables,
-                    cam_over)
+                    cam_over, resolve_level)
                 # frame 0 on a frame the client thought was mid-stream
                 # means TTL eviction restarted the accumulation
                 extra_headers = (("X-TPUAO-Session-Frame",
@@ -471,19 +487,23 @@ def warm_server(srv, shape, buffers=()) -> list[str]:
     request eats the compile; ``use_normals`` flips statically and a
     present color arg changes the program structure).  A ``"temporal"``
     entry additionally warms the ``?session=`` programs (static- and
-    moving-camera temporal resolves) for each combination.  Marks the
-    server warm; returns the list of warmed program names.
+    moving-camera temporal resolves) for each combination;
+    ``"temporal_l1"`` warms the half-res ``?resolve_level=1`` moving
+    program too.  Marks the server warm; returns the list of warmed
+    program names.
     """
     from itertools import combinations
 
     h, w = shape
     buffers = set(buffers)
-    temporal = "temporal" in buffers
-    buffers -= {"temporal"}
+    temporal = "temporal" in buffers or "temporal_l1" in buffers
+    temporal_l1 = "temporal_l1" in buffers
+    buffers -= {"temporal", "temporal_l1"}
     unknown = buffers - {"normals", "color"}
     if unknown:
         raise ValueError(f"unknown warmup buffers {sorted(unknown)} "
-                         "(choose from normals,color,temporal)")
+                         "(choose from normals,color,temporal,"
+                         "temporal_l1)")
     zz = np.full((h, w), 0.5, np.float32)
     nrm = np.zeros((h, w, 3), np.float32)
     nrm[..., 2] = 1.0
@@ -521,6 +541,17 @@ def warm_server(srv, shape, buffers=()) -> list[str]:
                 impl=eng.impl, out_dtype=eng.out_dtype, **kw)
             np.asarray(out)
             warmed.append(f"{name}[temporal static+moving]")
+            if temporal_l1:
+                _, st1 = render_frame_temporal(
+                    zz, None, eng.camera, params, TemporalParams(),
+                    impl=eng.impl, out_dtype=eng.out_dtype,
+                    resolve_level=1, **kw)
+                out1, _ = render_frame_temporal(
+                    zz, st1, eng.camera, params, TemporalParams(),
+                    motion=np.eye(4, dtype=np.float32), impl=eng.impl,
+                    out_dtype=eng.out_dtype, resolve_level=1, **kw)
+                np.asarray(out1)
+                warmed.append(f"{name}[temporal_l1 static+moving]")
         if srv.batcher is not None:
             # every ladder rung is a distinct compile (batching.py); warm
             # deterministically via the batcher's own padded-batch path --
