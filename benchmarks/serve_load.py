@@ -10,6 +10,16 @@ client-observed latency percentiles alongside the server's own /stats.
     python benchmarks/serve_load.py [--shape 1080x1920] [--requests 64]
                                     [--concurrency 8] [--batch 4]
                                     [--normals] [--warm]
+                                    [--sessions N] [--session-frames F]
+                                    [--resolve-level {0,1}]
+
+``--sessions N`` additionally runs N concurrent DOLLYING temporal
+streams (``AOClient.session`` handles, per-frame view matrices) mixed
+with the stateless traffic -- the load shape the session table, its
+TTL-sweep lock, and the per-stream history actually face in serving
+(VERDICT r4 item 5).  Per-stream ``X-TPUAO-Session-Frame`` counters are
+checked monotone (a restart = TTL eviction or cross-stream corruption;
+with the default 15-min TTL any restart under load is a bug).
 
 On the TPU host this exercises the relay's real dispatch path; on CPU
 (JAX_PLATFORMS=cpu) it validates the stack and the batching accounting.
@@ -46,6 +56,13 @@ def main(argv=None) -> int:
                     help="send depth+normals multi-buffer bodies")
     ap.add_argument("--no-warm", action="store_true",
                     help="skip warm_server (measure cold-start too)")
+    ap.add_argument("--sessions", type=int, default=0,
+                    help="N concurrent dollying temporal streams mixed "
+                    "with the stateless traffic")
+    ap.add_argument("--session-frames", type=int, default=8,
+                    help="frames per temporal stream")
+    ap.add_argument("--resolve-level", type=int, default=0, choices=(0, 1),
+                    help="session resolve level (1 = half-res fast path)")
     a = ap.parse_args(argv)
     h, w = (int(v) for v in a.shape.lower().split("x"))
 
@@ -64,7 +81,11 @@ def main(argv=None) -> int:
 
     srv = S.make_server(0, batch_size=a.batch)
     if not a.no_warm:
-        S.warm_server(srv, (h, w), ("normals",) if a.normals else ())
+        buffers = ("normals",) if a.normals else ()
+        if a.sessions:
+            buffers += (("temporal_l1",) if a.resolve_level
+                        else ("temporal",))
+        S.warm_server(srv, (h, w), buffers)
     th = threading.Thread(target=srv.serve_forever, daemon=True)
     th.start()
     client = AOClient(f"http://127.0.0.1:{srv.server_address[1]}",
@@ -81,9 +102,39 @@ def main(argv=None) -> int:
             lat_ms.append((time.perf_counter() - t0) * 1e3)
         return out
 
+    # -- temporal session streams (VERDICT r4 item 5) -----------------------
+    ses_lat_ms: list[float] = []
+    ses_restarts = [0]
+    ses_frames_done = [0]
+
+    def session_stream(sidx: int):
+        """One dollying client: sequential frames, per-frame views, frame
+        counters checked monotone via X-TPUAO-Session-Frame."""
+        try:
+            with client.session(f"load-{sidx}",
+                                resolve_level=a.resolve_level) as ses:
+                for t in range(a.session_frames):
+                    v = np.eye(4)
+                    v[0, 3] = 0.04 * t + 0.01 * sidx
+                    t0 = time.perf_counter()
+                    ses.render(frames[(sidx + t) % len(frames)], view=v)
+                    dt = (time.perf_counter() - t0) * 1e3
+                    with lat_lock:
+                        ses_lat_ms.append(dt)
+                        ses_frames_done[0] += 1
+                        if ses.last_frame_index != t:
+                            ses_restarts[0] += 1
+        except Exception as e:  # noqa: BLE001
+            with lat_lock:
+                err.append(f"session {sidx}: {type(e).__name__}: {e}")
+
     # distinct frames (scaled copies) so result caching can't cheat
     frames = [z * (1.0 - 1e-4 * (i % 7)) for i in range(a.requests)]
     t0 = time.perf_counter()
+    ses_threads = [threading.Thread(target=session_stream, args=(i,))
+                   for i in range(a.sessions)]
+    for th_ in ses_threads:
+        th_.start()
     try:
         from concurrent.futures import ThreadPoolExecutor
 
@@ -92,6 +143,8 @@ def main(argv=None) -> int:
     except Exception as e:  # noqa: BLE001
         err.append(f"{type(e).__name__}: {e}")
         outs = []
+    for th_ in ses_threads:
+        th_.join()
     wall_s = time.perf_counter() - t0
 
     lat = sorted(lat_ms)
@@ -115,6 +168,23 @@ def main(argv=None) -> int:
         "server_stats": client.stats(),
         "errors": err,
     }
+    if a.sessions:
+        slat = sorted(ses_lat_ms)
+        result["sessions"] = {
+            "streams": a.sessions,
+            "frames_per_stream": a.session_frames,
+            "resolve_level": a.resolve_level,
+            "frames_completed": ses_frames_done[0],
+            "restarts": ses_restarts[0],
+            "frames_per_s": (round(ses_frames_done[0] / wall_s, 2)
+                             if wall_s else None),
+            "latency_ms": {
+                "p50": round(slat[len(slat) // 2], 1) if slat else None,
+                "p95": round(slat[int(len(slat) * 0.95)] if len(slat) > 1
+                             else slat[0], 1) if slat else None,
+                "max": round(slat[-1], 1) if slat else None,
+            },
+        }
     srv.shutdown()
     srv.server_close()
     print(json.dumps(result, indent=2))
