@@ -475,6 +475,18 @@ def test_sharded_sequences_match_per_view():
         want = np.asarray(render_sequence_temporal(
             depths[s], JCAM, AOParams(), tp, impl="jnp"))
         np.testing.assert_allclose(np.asarray(out)[s], want, atol=2e-6)
+    # level-1 resolve fleet: half-res per-chip history carry
+    motions = np.tile(np.eye(4, dtype=np.float32), (v, t_n, 1, 1))
+    motions[:, 1:, 0, 3] = 0.02
+    out1 = render_sequences_temporal_sharded(
+        depths, JCAM, AOParams(), tp, motions=motions, mesh=make_mesh(4),
+        impl="jnp", resolve_level=1)
+    assert out1.shape == (v, t_n, h, w)
+    for s in range(v):
+        want = np.asarray(render_sequence_temporal(
+            depths[s], JCAM, AOParams(), tp, motions=motions[s],
+            impl="jnp", resolve_level=1))
+        np.testing.assert_allclose(np.asarray(out1)[s], want, atol=2e-6)
 
 
 @pytest.mark.slow
@@ -525,6 +537,18 @@ def test_sharded_sequences_uneven_views():
         want = np.asarray(render_sequence_temporal(
             depths[s], JCAM, AOParams(), tp, impl="jnp"))
         np.testing.assert_allclose(np.asarray(out)[s], want, atol=2e-6)
+    # level-1 resolve fleet: half-res per-chip history carry
+    motions = np.tile(np.eye(4, dtype=np.float32), (v, t_n, 1, 1))
+    motions[:, 1:, 0, 3] = 0.02
+    out1 = render_sequences_temporal_sharded(
+        depths, JCAM, AOParams(), tp, motions=motions, mesh=make_mesh(4),
+        impl="jnp", resolve_level=1)
+    assert out1.shape == (v, t_n, h, w)
+    for s in range(v):
+        want = np.asarray(render_sequence_temporal(
+            depths[s], JCAM, AOParams(), tp, motions=motions[s],
+            impl="jnp", resolve_level=1))
+        np.testing.assert_allclose(np.asarray(out1)[s], want, atol=2e-6)
 
 
 def test_sharded_sequences_program_has_no_collectives():
