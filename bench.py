@@ -549,10 +549,26 @@ def main():
         p3, f3 = st["p3"], st["f3"]
         ms, mn, ao, c = time_ms(f3, zd4n, nd4, p3, use_normals=True)
         err = golden_err_big(ao, z4n, p3, normals=n4)
+        # channel-first normals ABI row (VERDICT r4 item 4 hypothesis):
+        # (3, H, W) slices channels as free major-dim views where the
+        # (H, W, 3) ABI pays a minor-dim-3 relayout -- candidate for the
+        # 1.0 ms dma census bucket at this config
+        nd4cf = jax.device_put(jnp.asarray(
+            np.ascontiguousarray(np.moveaxis(n4, -1, 0)), jnp.float32))
+        ms_cf, _, ao_cf, _ = time_ms(f3, zd4n, nd4cf, p3, use_normals=True)
+        cf_diff = None
+        if not SMOKE:
+            # outputs must be identical; compare one interior crop (the
+            # relay moves ~35 MB/s -- never fetch two full 4K frames)
+            a = np.asarray(ao[1024:1280, 1024:1280])
+            b = np.asarray(ao_cf[1024:1280, 1024:1280])
+            cf_diff = float(np.abs(a - b).max())
         results["configs"]["3b_4k_normals"] = dict(
             ms=ms, ms_min=mn,
             mpix_s=(z4n.size / 1e6) / (ms / 1e3), max_abs_err=err,
             err_mode="full" if FULL_ERR else "sampled_crops",
+            ms_channel_first=round(ms_cf, 4),
+            channel_first_crop_diff=cf_diff,
             roofline=roofline(c, ms, *S["4k"], use_normals=True))
 
     # ---- config 4: 4K single camera ---------------------------------------
@@ -759,6 +775,52 @@ def main():
             "mesh_devices": int(mesh.devices.size),
         }
 
+    # ---- temporal resolve impl rows (VERDICT r4 item 3): the windowed
+    # history resample has a Pallas VMEM-tile form (kernel v3, r5 -- the
+    # earlier forms could not compile: docs/PERF.md 'Temporal resolve
+    # round 2').  Standing standalone xla-vs-pallas rows at both resolve
+    # levels keep its ranking + on-chip parity on the record.
+    def sec_temporal_impl():
+        from tpuao.ops import temporal as TT
+        from tpuao.params import TemporalParams
+
+        zd = st["zd"]
+        h, w = zd.shape
+        tp = TemporalParams()
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 0.05
+        mo = jnp.asarray(m)
+        rows = {}
+        rng = np.random.default_rng(0)
+        for level, tag in ((1, "l1"), (0, "fullres")):
+            hs, ws = ((-(-h // 2), -(-w // 2)) if level else (h, w))
+            ao = jnp.asarray(rng.uniform(0.2, 1, (hs, ws)
+                                         ).astype(np.float32))
+            d1 = jnp.asarray(rng.uniform(0.1, 0.9, (hs, ws)
+                                         ).astype(np.float32))
+            pa = jnp.asarray(rng.uniform(0.2, 1, (hs, ws)
+                                         ).astype(np.float32))
+            pd = d1 + 0.001
+            outs = {}
+            for impl_t in ("auto", "pallas"):
+                if level:
+                    fn = (lambda a, b, c, e, i=impl_t:
+                          TT.temporal_resolve_l1(a, b, c, e, h, w, cam,
+                                                 tp, motion=mo, impl=i))
+                else:
+                    fn = (lambda a, b, c, e, i=impl_t:
+                          TT.temporal_resolve(a, b, c, e, cam, tp,
+                                              motion=mo, impl=i))
+                ms = device_time_ms(lambda a: fn(a, d1, pa, pd), ao,
+                                    pixels=h * w)
+                # on-chip parity: fetch both outputs (l1 2 MB / fullres
+                # 8 MB through the ~35 MB/s relay -- affordable here)
+                outs[impl_t] = np.asarray(jax.jit(fn)(ao, d1, pa, pd))
+                rows[f"{tag}_{impl_t}"] = round(ms, 4)
+            rows[f"{tag}_parity_max_abs"] = float(
+                np.abs(outs["auto"] - outs["pallas"]).max())
+        results["temporal_resolve_impl_ms"] = rows
+
     # run order (VERDICT r4 item 1a): every [BJ] config + the temporal row
     # FIRST, diagnostics after -- r4's driver window expired on impl rows
     # while config 5 went unmeasured
@@ -774,6 +836,7 @@ def main():
             ("config 3b: 4K normals", sec_config3b),
             ("impl regression rows 1080p (pallas/fused)", sec_impl1080),
             ("impl regression rows 8K", sec_impl8k),
+            ("temporal resolve impl rows", sec_temporal_impl),
             ("streaming host-launch rates", sec_streaming),
             ("temporal fleet 8x8", sec_fleet),
             ("quality ladder", sec_ladder),

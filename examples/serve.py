@@ -46,7 +46,8 @@ def main(argv):
                     help="pre-compile for this frame shape before serving")
     ap.add_argument("--warmup-buffers", metavar="LIST",
                     help="with --warmup: also pre-compile the multi-buffer "
-                    "programs (comma list from {normals,color,temporal}; "
+                    "programs (comma list from {normals,color,temporal,"
+                    "temporal_l1}; "
                     "every non-empty combination is warmed, e.g. "
                     "'normals,color' compiles the normal-weighted, "
                     "composited, and normal-weighted-composited programs "

@@ -494,3 +494,28 @@ def test_banded_render_variant():
     got_n = np.asarray(R.render_ao_level_banded(ds1, 1, 256, cam, pn,
                                                 slopes_ds=sl, band_rows=40))
     np.testing.assert_allclose(got_n, want_n, atol=1e-6)
+
+
+def test_normals_channel_first_abi_matches_channel_last():
+    """(3, H, W) channel-first normals (the preferred large-frame device
+    ABI: major-dim channel slices are free views, minor-dim-3 slices are
+    relayout copies on TPU) produce the identical frame."""
+    from tpuao.models.pipeline import render_frame
+    from tpuao.ops.render import slope_planes
+    from tpuao.params import AOParams, CameraParams
+    from tpuao.utils import fixtures as F
+
+    cam = CameraParams(depth_mode="linear")
+    z, nrm = F.spheres_on_plane(96, 128, cam, n_spheres=3, seed=6,
+                                with_normals=True)
+    z = z.astype(np.float32)
+    cl = nrm.astype(np.float32)               # (H, W, 3)
+    cf = np.ascontiguousarray(np.moveaxis(cl, -1, 0))  # (3, H, W)
+    gx_cl, gy_cl = slope_planes(jnp.asarray(cl), 1.0, 128)
+    gx_cf, gy_cf = slope_planes(jnp.asarray(cf), 1.0, 128)
+    np.testing.assert_array_equal(np.asarray(gx_cl), np.asarray(gx_cf))
+    np.testing.assert_array_equal(np.asarray(gy_cl), np.asarray(gy_cf))
+    par = AOParams(use_normals=True)
+    a = np.asarray(render_frame(z, cam, par, normals=cl))
+    b = np.asarray(render_frame(z, cam, par, normals=cf))
+    np.testing.assert_array_equal(a, b)
