@@ -776,10 +776,12 @@ def main():
         }
 
     # ---- temporal resolve impl rows (VERDICT r4 item 3): the windowed
-    # history resample has a Pallas VMEM-tile form (kernel v3, r5 -- the
-    # earlier forms could not compile: docs/PERF.md 'Temporal resolve
-    # round 2').  Standing standalone xla-vs-pallas rows at both resolve
-    # levels keep its ranking + on-chip parity on the record.
+    # history resample routes to the Pallas VMEM-tile kernel (v3) on TPU
+    # by default -- the repo's first in-pipeline Pallas win (r5 probe3:
+    # 0.89 vs 1.93 ms standalone full-res).  Standing explicit
+    # jnp-vs-pallas rows at both resolve levels guard that ranking + the
+    # on-chip parity every bench run (a libtpu upgrade flipping either
+    # direction shows up here).
     def sec_temporal_impl():
         from tpuao.ops import temporal as TT
         from tpuao.params import TemporalParams
@@ -802,7 +804,7 @@ def main():
                                          ).astype(np.float32))
             pd = d1 + 0.001
             outs = {}
-            for impl_t in ("auto", "pallas"):
+            for impl_t in ("jnp", "pallas"):
                 if level:
                     fn = (lambda a, b, c, e, i=impl_t:
                           TT.temporal_resolve_l1(a, b, c, e, h, w, cam,
@@ -818,7 +820,13 @@ def main():
                 outs[impl_t] = np.asarray(jax.jit(fn)(ao, d1, pa, pd))
                 rows[f"{tag}_{impl_t}"] = round(ms, 4)
             rows[f"{tag}_parity_max_abs"] = float(
-                np.abs(outs["auto"] - outs["pallas"]).max())
+                np.abs(outs["jnp"] - outs["pallas"]).max())
+            if rows[f"{tag}_pallas"] > rows[f"{tag}_jnp"]:
+                print(f"[bench] WARNING: temporal {tag} pallas "
+                      "slower than the XLA row-scan -- the auto "
+                      "default has flipped; re-evaluate "
+                      "ops/temporal._use_windowed_kernel",
+                      file=sys.stderr)
         results["temporal_resolve_impl_ms"] = rows
 
     # run order (VERDICT r4 item 1a): every [BJ] config + the temporal row

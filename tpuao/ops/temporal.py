@@ -187,6 +187,25 @@ def _bilinear_windowed2(ao, d, ip, jp, r: int, unroll: int = 1):
     return acc[0], acc[1]
 
 
+def _use_windowed_kernel(impl: str) -> bool:
+    """Route the windowed history resample to the Pallas VMEM-tile kernel?
+
+    ``"auto"`` selects the kernel ON TPU -- the r5 on-chip measurement
+    (docs/PERF.md 'Temporal resolve round 2', benchmarks/exp/
+    temporal_probe3.py): standalone 0.89 vs 1.93 ms full-res / 0.112 vs
+    0.193 l1 at 1080p, in-frame full-res 1.27 vs 2.22, parity ~8e-7 --
+    the single-HBM-read tile beats the row-scan's per-step carry
+    re-streaming.  This is the repo's FIRST kernel to beat XLA
+    in-pipeline (six prior Pallas strategies lost; the difference here
+    is the (2R+2)^2 re-read pattern XLA cannot fuse away).  Off-TPU,
+    ``"auto"`` keeps the XLA form (interpret-mode Pallas is orders
+    slower); ``"jnp"`` forces the XLA form everywhere; ``"pallas"``
+    forces the kernel (interpret off-TPU)."""
+    if impl == "pallas":
+        return True
+    return impl == "auto" and jax.default_backend() == "tpu"
+
+
 def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
                      tparams, motion=None, impl: str = "auto"):
     """One temporal resolve step (spec: golden/temporal.py).
@@ -195,10 +214,10 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
     the resolved AO; the caller's next history state is
     ``(resolved, curr_depth)``.  ``motion`` is a traced (4, 4) current->
     previous eye transform, or None for the gather-free static-camera path.
-    ``impl="pallas"`` routes the windowed history resample through the
-    VMEM-tile kernel (``pallas_kernels.windowed_resolve``, bit-compatible);
-    every other value uses the XLA row-offset-scan form (the measured
-    in-pipeline default, docs/PERF.md).
+    The windowed history resample routes through the Pallas VMEM-tile
+    kernel on TPU by default (``_use_windowed_kernel``: measured 2.2x the
+    XLA row-offset scan at 1080p full-res); ``impl="jnp"`` forces the XLA
+    scan form, ``"pallas"`` forces the kernel.
     """
     curr_ao = curr_ao.astype(jnp.float32)
     curr_depth = curr_depth.astype(jnp.float32)
@@ -216,7 +235,7 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
         r = tparams.max_displacement
         if r is None:
             hist, d_hist = _bilinear_gather2(prev_ao, prev_depth, ip, jp)
-        elif impl == "pallas":
+        elif _use_windowed_kernel(impl):
             from tpuao.ops.pallas_kernels import windowed_resolve
 
             hist, d_hist = windowed_resolve(prev_ao, prev_depth, ip, jp,
@@ -305,7 +324,7 @@ def temporal_resolve_l1(curr_ao1, curr_d1, prev_ao1, prev_d1, h0: int,
         ip_h, jp_h = ip_f * 0.5, jp_f * 0.5
         if r is None:
             hist, d_hist = _bilinear_gather2(prev_ao1, prev_d1, ip_h, jp_h)
-        elif impl == "pallas":
+        elif _use_windowed_kernel(impl):
             from tpuao.ops.pallas_kernels import windowed_resolve
 
             hist, d_hist = windowed_resolve(prev_ao1, prev_d1, ip_h, jp_h,
