@@ -63,6 +63,10 @@ def main(argv=None) -> int:
                     help="frames per temporal stream")
     ap.add_argument("--resolve-level", type=int, default=0, choices=(0, 1),
                     help="session resolve level (1 = half-res fast path)")
+    ap.add_argument("--record", action="store_true",
+                    help="merge the result into BENCH_DETAIL.json under "
+                    "'serve_load' (read-modify-write; never drops other "
+                    "keys -- same contract as bench.py's merge flush)")
     a = ap.parse_args(argv)
     h, w = (int(v) for v in a.shape.lower().split("x"))
 
@@ -188,6 +192,19 @@ def main(argv=None) -> int:
     srv.shutdown()
     srv.server_close()
     print(json.dumps(result, indent=2))
+    if a.record:
+        path = os.environ.get("TPUAO_BENCH_DETAIL") or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "BENCH_DETAIL.json")
+        try:
+            detail = json.load(open(path))
+        except (OSError, ValueError):
+            detail = {}
+        detail["serve_load"] = result
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(detail, f, indent=1)
+        os.replace(tmp, path)
     return 0 if not err else 1
 
 
