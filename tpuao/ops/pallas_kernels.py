@@ -47,6 +47,21 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _out_sds(shape, dtype, *inputs):
+    """``ShapeDtypeStruct`` for a ``pallas_call`` out_shape that composes
+    under ``jax.shard_map(check_vma=True)``: the output is declared
+    varying over the union of the inputs' manual mesh axes (jax >= 0.9
+    rejects a ``vma=None`` out_shape inside shard_map -- observed when the
+    temporal fleet routed the windowed resolve to this kernel on TPU).
+    Outside shard_map every vma is empty and this is the plain struct."""
+    vma = frozenset()
+    for x in inputs:
+        vma |= getattr(jax.typeof(x), "vma", frozenset())
+    if not vma:
+        return jax.ShapeDtypeStruct(shape, dtype)
+    return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+
+
 def _row_windows(zp, g: int, tile: int):
     """(g*tile + 2*HALO, W) -> (g, tile + 2*HALO, W) overlapping windows."""
     return jnp.stack(
@@ -219,7 +234,8 @@ def blur_upsample_step(lo_ao, lo_d, hi_d, params, full_width: int,
                                memory_space=pltpu.SMEM)]
         + [lo_spec] * len(lo_ins) + [plane_spec],
         out_specs=plane_spec,
-        out_shape=jax.ShapeDtypeStruct((4, g * R, lw), jnp.float32),
+        out_shape=_out_sds((4, g * R, lw), jnp.float32,
+                            scalars, *lo_ins, hid_planes),
         interpret=_use_interpret(),
     )(scalars, *lo_ins, hid_planes)
     planes = out[:, :lh, :]
@@ -405,7 +421,8 @@ def fused_render_upsample_step_zc(ds, c1, hi_d, level: int, full_width: int,
             plane_spec,
         ],
         out_specs=plane_spec,
-        out_shape=jax.ShapeDtypeStruct((4, g * R, lw), jnp.float32),
+        out_shape=_out_sds((4, g * R, lw), jnp.float32,
+                            scalars, zp, dpad, cpad, hid_planes),
         scratch_shapes=[pltpu.VMEM((R + 3, lw), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -518,7 +535,8 @@ def fused_render_upsample_step(ds, c1, hi_d, level: int, full_width: int,
             plane_spec,
         ],
         out_specs=plane_spec,
-        out_shape=jax.ShapeDtypeStruct((4, g * R, lw), jnp.float32),
+        out_shape=_out_sds((4, g * R, lw), jnp.float32,
+                            scalars, zwin, dwin, c1win, hid_planes),
         scratch_shapes=[pltpu.VMEM((R + 3, lw), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -627,7 +645,7 @@ def render_ao_level_dma(ds, level: int, full_width: int, camera, params,
         ],
         out_specs=pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, R, w), jnp.float32),
+        out_shape=_out_sds((g, R, w), jnp.float32, scalars, zp),
         scratch_shapes=[
             pltpu.VMEM((2, R + 2 * HALO, wpad), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
@@ -699,7 +717,8 @@ def render_ao_level(ds, level: int, full_width: int, camera, params,
         + [win_spec] * len(wins) + [tile_spec] * len(nwins),
         out_specs=pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, R, w), jnp.float32),
+        out_shape=_out_sds((g, R, w), jnp.float32,
+                            scalars, *wins, *nwins),
         interpret=_use_interpret(),
     )(scalars, *wins, *nwins)
     return out.reshape(g * R, w)[:h]
@@ -777,14 +796,16 @@ def windowed_resolve(prev_ao, prev_d, ip, jp, r: int, row_tile: int = 16):
                             memory_space=pltpu.VMEM)
     tile_spec = pl.BlockSpec((1, R, w), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    tdi, tdj = tile_rows(di), tile_rows(dj)
     out = pl.pallas_call(
         functools.partial(_windowed_resolve_kernel, r, R, w),
         grid=(g,),
         in_specs=[win_spec, tile_spec, tile_spec],
         out_specs=pl.BlockSpec((1, 2, R, w), lambda i: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((g, 2, R, w), jnp.float32),
+        out_shape=_out_sds((g, 2, R, w), jnp.float32,
+                            wins, tdi, tdj),
         interpret=_use_interpret(),
-    )(wins, tile_rows(di), tile_rows(dj))
+    )(wins, tdi, tdj)
     out = out.transpose(1, 0, 2, 3).reshape(2, g * R, w)[:, :h]
     return out[0], out[1]
