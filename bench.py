@@ -816,8 +816,15 @@ def main():
                 ms = device_time_ms(lambda a: fn(a, d1, pa, pd), ao,
                                     pixels=h * w)
                 # on-chip parity: fetch both outputs (l1 2 MB / fullres
-                # 8 MB through the ~35 MB/s relay -- affordable here)
-                outs[impl_t] = np.asarray(jax.jit(fn)(ao, d1, pa, pd))
+                # 8 MB through the ~35 MB/s relay -- affordable here).
+                # The parity program needs the SAME size-aware scoped-VMEM
+                # options the timed chain ran under: a plain jit leaves
+                # the default 16 MB limit and the kernel's 16.23 MB
+                # full-res output OOMs the compile (observed twice r5).
+                from tpuao.utils.xla_opts import tpu_compiler_options
+                compiled = jax.jit(fn).lower(ao, d1, pa, pd).compile(
+                    compiler_options=tpu_compiler_options(h * w))
+                outs[impl_t] = np.asarray(compiled(ao, d1, pa, pd))
                 rows[f"{tag}_{impl_t}"] = round(ms, 4)
             rows[f"{tag}_parity_max_abs"] = float(
                 np.abs(outs["jnp"] - outs["pallas"]).max())
@@ -832,6 +839,14 @@ def main():
     # run order (VERDICT r4 item 1a): every [BJ] config + the temporal row
     # FIRST, diagnostics after -- r4's driver window expired on impl rows
     # while config 5 went unmeasured
+    # BENCH_ONLY="config 2,fleet" reruns just the named sections
+    # (comma-separated case-insensitive substrings); the merge flush folds
+    # their rows into the standing record.  A filtered run never claims
+    # completeness and never marks unselected sections skipped.  Most
+    # sections read config 2's cached state (st["zd"]/st["p2"]) -- include
+    # "config 2" in the filter unless rerunning configs 1/3/4 alone.
+    only = [s.strip().lower()
+            for s in os.environ.get("BENCH_ONLY", "").split(",") if s.strip()]
     for name, fn in (
             ("config 2: 1080p full (headline)", sec_config2),
             ("config 1: 720p single-scale", sec_config1),
@@ -849,10 +864,12 @@ def main():
             ("temporal fleet 8x8", sec_fleet),
             ("quality ladder", sec_ladder),
     ):
+        if only and not any(s in name.lower() for s in only):
+            continue
         hz.section(name, fn)
 
     results["complete"] = (not results["skipped"]
-                           and not results["errors"])
+                           and not results["errors"] and not only)
     hz.flush()
     progress(f"done in {time.monotonic() - T0:.0f}s; "
              f"skipped={results['skipped']} errors={list(results['errors'])}")

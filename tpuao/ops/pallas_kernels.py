@@ -805,6 +805,15 @@ def windowed_resolve(prev_ao, prev_d, ip, jp, r: int, row_tile: int = 16):
                                memory_space=pltpu.VMEM),
         out_shape=_out_sds((g, 2, R, w), jnp.float32,
                             wins, tdi, tdj),
+        # XLA stack-allocates this call's FULL (g,2,R,w) output in scoped
+        # VMEM and the compile FAILS whenever it exceeds the scoped limit
+        # (measured r5: 16.23 MB at 1080p vs the 16 MB default under a
+        # plain jit; 265 MB at 8K vs any budget).  The per-kernel raise
+        # covers every plane size whose output fits physical VMEM;
+        # ops/temporal._use_windowed_kernel size-gates the rest back to
+        # the XLA scan form.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_use_interpret(),
     )(wins, tdi, tdj)
     out = out.transpose(1, 0, 2, 3).reshape(2, g * R, w)[:, :h]

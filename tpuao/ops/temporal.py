@@ -187,7 +187,7 @@ def _bilinear_windowed2(ao, d, ip, jp, r: int, unroll: int = 1):
     return acc[0], acc[1]
 
 
-def _use_windowed_kernel(impl: str) -> bool:
+def _use_windowed_kernel(impl: str, h: int, w: int) -> bool:
     """Route the windowed history resample to the Pallas VMEM-tile kernel?
 
     ``"auto"`` selects the kernel ON TPU -- the r5 on-chip measurement
@@ -200,10 +200,23 @@ def _use_windowed_kernel(impl: str) -> bool:
     is the (2R+2)^2 re-read pattern XLA cannot fuse away).  Off-TPU,
     ``"auto"`` keeps the XLA form (interpret-mode Pallas is orders
     slower); ``"jnp"`` forces the XLA form everywhere; ``"pallas"``
-    forces the kernel (interpret off-TPU)."""
+    forces the kernel (interpret off-TPU).
+
+    Size gate (``h``, ``w`` = the resolve-plane shape): XLA stack-
+    allocates the kernel's whole 2-field output in scoped VMEM and the
+    compile FAILS when it exceeds the scoped limit (r5 measurement; the
+    kernel carries a 100 MB per-call raise, pallas_kernels.py).  Planes
+    whose padded output exceeds ~90 MB -- full-res resolve above ~11.7
+    Mpix, e.g. 8K -- fall back to the XLA scan under ``"auto"`` (8K's
+    265 MB output can never fit the 128 MB physical VMEM).  8K streams
+    should use ``resolve_level=1`` (66 MB half-res output, kernel path).
+    Explicit ``"pallas"`` is never gated (tests drive small shapes)."""
     if impl == "pallas":
         return True
-    return impl == "auto" and jax.default_backend() == "tpu"
+    if impl != "auto" or jax.default_backend() != "tpu":
+        return False
+    out_bytes = 2 * (-(-h // 16) * 16) * w * 4
+    return out_bytes <= 90 * 1024 * 1024
 
 
 def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
@@ -235,7 +248,7 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
         r = tparams.max_displacement
         if r is None:
             hist, d_hist = _bilinear_gather2(prev_ao, prev_depth, ip, jp)
-        elif _use_windowed_kernel(impl):
+        elif _use_windowed_kernel(impl, *prev_ao.shape[-2:]):
             from tpuao.ops.pallas_kernels import windowed_resolve
 
             hist, d_hist = windowed_resolve(prev_ao, prev_depth, ip, jp,
@@ -324,7 +337,7 @@ def temporal_resolve_l1(curr_ao1, curr_d1, prev_ao1, prev_d1, h0: int,
         ip_h, jp_h = ip_f * 0.5, jp_f * 0.5
         if r is None:
             hist, d_hist = _bilinear_gather2(prev_ao1, prev_d1, ip_h, jp_h)
-        elif _use_windowed_kernel(impl):
+        elif _use_windowed_kernel(impl, *prev_ao1.shape[-2:]):
             from tpuao.ops.pallas_kernels import windowed_resolve
 
             hist, d_hist = windowed_resolve(prev_ao1, prev_d1, ip_h, jp_h,
