@@ -726,6 +726,11 @@ def main():
             lambda ds: _sequence_scan_core(ds, motions, None, cam, p2, tp,
                                            impl, "float32"),
             depths, iters=REPS)
+        ms_seq_l1 = device_time_ms(
+            lambda ds: _sequence_scan_core(ds, motions, None, cam, p2, tp,
+                                           impl, "float32",
+                                           resolve_level=1),
+            depths, iters=REPS)
         results["temporal_1080p"] = {
             "ms_frame_plus_resolve_static": round(ms_s, 4),
             "ms_frame_plus_resolve_windowed": round(ms_m, 4),
@@ -735,6 +740,7 @@ def main():
             "resolve_overhead_l1_windowed_ms": round(ms_l1 - ms2, 4),
             "max_displacement": tp.max_displacement,
             "scan8_ms_per_frame": round(ms_seq / t_n, 4),
+            "scan8_l1_ms_per_frame": round(ms_seq_l1 / t_n, 4),
         }
 
     # ---- temporal fleet (VERDICT r4 item 6): 8 sequences x 8 frames in

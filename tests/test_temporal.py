@@ -918,3 +918,29 @@ def test_l1_odd_dims_and_no_blur():
                                         resolve_level=1)
         assert np.abs(np.asarray(got) - want).max() <= 1e-3, (h, w)
         assert tuple(st[0].shape) == (-(-h // 2), -(-w // 2)), (h, w)
+
+
+def test_use_windowed_kernel_routing(monkeypatch):
+    """The auto default routes the windowed resample to the Pallas kernel
+    ON TPU only, size-gated: planes whose padded 2-field f32 output
+    exceeds ~90 MB (full-res 8K) fall back to the XLA scan because XLA
+    stack-allocates the kernel's whole output in scoped VMEM and the
+    compile fails past the limit (docs/PERF.md 'Temporal resolve round
+    2', r5).  Explicit impls are never backend- or size-gated."""
+    import jax
+
+    from tpuao.ops import temporal as T
+
+    # explicit selections, any backend, any size
+    assert T._use_windowed_kernel("pallas", 4320, 7680)
+    assert not T._use_windowed_kernel("jnp", 96, 128)
+
+    # auto off-TPU: always the XLA form (interpret Pallas is orders slower)
+    assert jax.default_backend() != "tpu"  # conftest pins CPU
+    assert not T._use_windowed_kernel("auto", 1080, 1920)
+
+    # auto on-TPU (simulated): kernel up to the size gate, scan past it
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert T._use_windowed_kernel("auto", 1080, 1920)      # 16.6 MB out
+    assert T._use_windowed_kernel("auto", 2160, 3840)      # 66 MB out
+    assert not T._use_windowed_kernel("auto", 4320, 7680)  # 265 MB out
