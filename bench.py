@@ -842,6 +842,47 @@ def main():
                       file=sys.stderr)
         results["temporal_resolve_impl_ms"] = rows
 
+    # ---- temporal at 8K: the size-gate story on the record.  Full-res
+    # resolve is gated to the XLA scan (the kernel's 265 MB output can
+    # never stack-allocate -- docs/PERF.md r5); l1 resolve takes the
+    # kernel path (66 MB under the per-call 100 MB raise).  The 8K input
+    # is tiled on-device from the resident 1080p frame (a 132 MB
+    # device_put costs ~4 s through the relay and content does not
+    # matter for a timing row).
+    def sec_temporal_8k():
+        from tpuao.models.pipeline import _temporal_frame_core
+        from tpuao.ops import temporal as TT
+        from tpuao.params import TemporalParams
+
+        z8 = jnp.tile(st["zd"], (4, 4))
+        h, w = z8.shape
+        p2 = st["p2"]
+        tp = TemporalParams()
+        m = np.eye(4, dtype=np.float32)
+        m[0, 3] = 0.05
+        mo = jnp.asarray(m)
+        prev, _ = TT.initial_state(h, w)
+        h1, w1 = -(-h // 2), -(-w // 2)
+        prev1, _ = TT.initial_state(h1, w1)
+        prev1_d = jnp.zeros((h1, w1), jnp.float32) + 0.5
+
+        def fmove(d):
+            return _temporal_frame_core(d, prev, d, mo, cam, p2, tp,
+                                        None, None, impl, "float32")
+
+        def fmove_l1(d):
+            return _temporal_frame_core(d, prev1, prev1_d, mo, cam, p2,
+                                        tp, None, None, impl, "float32", 1)
+
+        ms_full = device_time_ms(fmove, z8, iters=REPS)
+        ms_l1 = device_time_ms(fmove_l1, z8, iters=REPS)
+        row = {"ms_frame_plus_resolve_fullres_gated": round(ms_full, 4),
+               "ms_frame_plus_resolve_l1": round(ms_l1, 4)}
+        if st.get("ms8"):
+            row["resolve_overhead_fullres_ms"] = round(ms_full - st["ms8"], 4)
+            row["resolve_overhead_l1_ms"] = round(ms_l1 - st["ms8"], 4)
+        results["temporal_8k"] = row
+
     # run order (VERDICT r4 item 1a): every [BJ] config + the temporal row
     # FIRST, diagnostics after -- r4's driver window expired on impl rows
     # while config 5 went unmeasured
@@ -866,6 +907,7 @@ def main():
             ("impl regression rows 1080p (pallas/fused)", sec_impl1080),
             ("impl regression rows 8K", sec_impl8k),
             ("temporal resolve impl rows", sec_temporal_impl),
+            ("temporal 8K levels", sec_temporal_8k),
             ("streaming host-launch rates", sec_streaming),
             ("temporal fleet 8x8", sec_fleet),
             ("quality ladder", sec_ladder),
