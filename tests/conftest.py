@@ -58,6 +58,25 @@ def pytest_collection_modifyitems(config, items):
             item.add_marker(skip)
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiled_program_memory(request):
+    """Clear compiled-program caches between modules in ``--slow`` runs.
+
+    One pytest process compiling the full fuzz tier accumulates every
+    executable ever built (JAX global caches + tpuao's memoized
+    builders): measured >7 GB RSS by test ~300, after which XLA's CPU
+    backend segfaults inside backend_compile_and_load (r5 — passes in
+    isolation and in every <100-test subset; pure accumulation).
+    Per-module clearing bounds the working set; cross-module recompiles
+    are cheap on CPU.  Smoke runs skip it — they stay small enough.
+    """
+    yield
+    if request.config.getoption("--slow"):
+        from tpuao.utils.caches import clear_program_caches
+
+        clear_program_caches()
+
+
 @pytest.fixture
 def camera():
     return GoldenCameraParams(depth_mode="linear")

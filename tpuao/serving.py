@@ -300,6 +300,25 @@ class AOHandler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         url = urlparse(self.path)
+        if url.path == "/maintenance/clear-caches":
+            # drop every compiled program (tpuao builders + JAX global
+            # caches): long-lived servers whose client geometry set has
+            # churned accumulate executables without bound (see
+            # utils/caches.py for the measured failure mode).  Taking
+            # srv.lock serializes behind any in-flight render, so no
+            # program is dropped mid-flight; the next request per shape
+            # pays a recompile (20-90 s on TPU through the relay), so
+            # this is an operator action, not something to automate on
+            # a timer.
+            from tpuao.utils.caches import clear_program_caches
+
+            with self.server.lock:
+                dropped = clear_program_caches()
+            self.server.warmed = False  # /healthz: warmup state is gone
+            self._count("cache_clears")
+            self._send(200, json.dumps({"dropped": dropped}).encode(),
+                       "application/json")
+            return
         if url.path != "/ao":
             self._send(404, b"not found", "text/plain")
             return
@@ -594,7 +613,8 @@ def make_server(port: int = 0, engine: AmbientOcclusionEngine | None = None,
     srv.warmed = False  # /healthz turns 200 after the first render
     srv.stats_lock = threading.Lock()
     srv.stats = {"requests": 0, "ok": 0, "errors": 0,
-                 "direct": 0, "batched": 0, "temporal": 0}
+                 "direct": 0, "batched": 0, "temporal": 0,
+                 "cache_clears": 0}
     srv.sessions = {}  # temporal sessions: id -> {engine, last, frames}
     srv.sessions_lock = threading.Lock()  # table only, never held on render
     srv.session_ttl = 600.0  # idle seconds before history is evicted
