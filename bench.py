@@ -26,8 +26,11 @@ killed the r4 run at ~1000 s -- VERDICT r4 item 1):
     (this run finished with nothing skipped/errored) and
     ``inherited_keys`` (rows carried over from a prior record);
   * each section is independently try/excepted (one flaky compile cannot
-    erase the others) and budget-gated: past BENCH_BUDGET_S, remaining
-    sections are skipped (recorded in "skipped");
+    erase the others) and COST-AWARE budget-gated: a section is skipped
+    when elapsed + its measured-cost estimate (``est_s``, from the r5 full
+    run) would overrun BENCH_BUDGET_S -- not merely when it *starts* past
+    the budget, which is how r4's 286 s impl-8K section was still
+    mid-flight at the driver's kill (skips recorded in "skipped");
   * a watchdog thread hard-exits rc=0 -- after flushing the detail file and
     re-printing the headline -- if the total hard deadline passes or the
     relay goes silent mid-section (network rx bytes frozen for ~5 min = the
@@ -284,10 +287,20 @@ class Harness:
         return True
 
     # -- sections -----------------------------------------------------------
-    def section(self, name, fn):
-        """Run one budget-gated, exception-isolated bench section."""
-        if time.monotonic() - T0 > BUDGET_S:
-            progress(f"SKIP {name}: past BENCH_BUDGET_S={BUDGET_S:.0f}")
+    def section(self, name, fn, est_s=0.0):
+        """Run one budget-gated, exception-isolated bench section.
+
+        ``est_s`` is the section's measured cost from a full run (r5
+        record's ``section_s``); the gate skips a section whose estimate
+        would overrun BENCH_BUDGET_S, not just one that starts past it.
+        r4's failure mode was exactly this: the 286 s impl-8K section
+        *started* inside the budget and was still mid-flight at the
+        driver's ~1000 s kill, turning the run into rc=124.
+        """
+        elapsed = time.monotonic() - T0
+        if elapsed > BUDGET_S or elapsed + est_s > BUDGET_S:
+            progress(f"SKIP {name}: elapsed {elapsed:.0f}s + est {est_s:.0f}s"
+                     f" > BENCH_BUDGET_S={BUDGET_S:.0f}")
             self.results["skipped"].append(name)
             self.flush()
             return
@@ -894,27 +907,30 @@ def main():
     # "config 2" in the filter unless rerunning configs 1/3/4 alone.
     only = [s.strip().lower()
             for s in os.environ.get("BENCH_ONLY", "").split(",") if s.strip()]
-    for name, fn in (
-            ("config 2: 1080p full (headline)", sec_config2),
-            ("config 1: 720p single-scale", sec_config1),
-            ("config 3: 1080p normals + sweep", sec_config3),
-            ("config 5: 8-view sharded batch", sec_config5),
-            ("config 4: 4K full", sec_config4),
-            ("config 4b: 8K full", sec_config4b),
-            ("temporal accumulation 1080p", sec_temporal),
+    # est_s = measured section cost from the r5 full run (elapsed 1368 s
+    # total); the gate skips a section whose estimate would overrun the
+    # budget.  The 286 s impl-8K diagnostics run LAST for the same reason.
+    for name, fn, est in (
+            ("config 2: 1080p full (headline)", sec_config2, 110),
+            ("config 1: 720p single-scale", sec_config1, 15),
+            ("config 3: 1080p normals + sweep", sec_config3, 75),
+            ("config 5: 8-view sharded batch", sec_config5, 90),
+            ("config 4: 4K full", sec_config4, 25),
+            ("config 4b: 8K full", sec_config4b, 45),
+            ("temporal accumulation 1080p", sec_temporal, 155),
             # -- diagnostics below the [BJ] line --
-            ("config 3b: 4K normals", sec_config3b),
-            ("impl regression rows 1080p (pallas/fused)", sec_impl1080),
-            ("impl regression rows 8K", sec_impl8k),
-            ("temporal resolve impl rows", sec_temporal_impl),
-            ("temporal 8K levels", sec_temporal_8k),
-            ("streaming host-launch rates", sec_streaming),
-            ("temporal fleet 8x8", sec_fleet),
-            ("quality ladder", sec_ladder),
+            ("config 3b: 4K normals", sec_config3b, 90),
+            ("impl regression rows 1080p (pallas/fused)", sec_impl1080, 45),
+            ("temporal resolve impl rows", sec_temporal_impl, 85),
+            ("streaming host-launch rates", sec_streaming, 50),
+            ("temporal 8K levels", sec_temporal_8k, 100),
+            ("temporal fleet 8x8", sec_fleet, 115),
+            ("quality ladder", sec_ladder, 110),
+            ("impl regression rows 8K", sec_impl8k, 290),
     ):
         if only and not any(s in name.lower() for s in only):
             continue
-        hz.section(name, fn)
+        hz.section(name, fn, est_s=est)
 
     results["complete"] = (not results["skipped"]
                            and not results["errors"] and not only)
