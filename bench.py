@@ -787,9 +787,21 @@ def main():
             return sm(ds, motions, None, cam, p2, tp)
 
         ms = device_time_ms(fleet, depths, iters=REPS)
+
+        # the l1 (half-res resolve) fleet is the deployable moving-camera
+        # configuration (CLAUDE.md r5 deploy guidance; scan8_l1 row) --
+        # record it next to the full-res fleet so the record shows both
+        sm1 = _temporal_sharded_core(mesh, True, False, impl, "float32", 1)
+
+        def fleet_l1(ds):
+            return sm1(ds, motions, None, cam, p2, tp)
+
+        ms1 = device_time_ms(fleet_l1, depths, iters=REPS)
         results["temporal_fleet_8x8_1080p"] = {
             "ms_total": round(ms, 4),
             "ms_per_frame_view": round(ms / (v * t_n), 4),
+            "ms_total_l1": round(ms1, 4),
+            "ms_per_frame_view_l1": round(ms1 / (v * t_n), 4),
             "views": v, "frames": t_n,
             "mesh_devices": int(mesh.devices.size),
         }
@@ -924,7 +936,7 @@ def main():
             ("temporal resolve impl rows", sec_temporal_impl, 85),
             ("streaming host-launch rates", sec_streaming, 50),
             ("temporal 8K levels", sec_temporal_8k, 100),
-            ("temporal fleet 8x8", sec_fleet, 115),
+            ("temporal fleet 8x8", sec_fleet, 175),
             ("quality ladder", sec_ladder, 110),
             ("impl regression rows 8K", sec_impl8k, 290),
     ):
