@@ -201,6 +201,10 @@ def main(argv=None) -> int:
         except (OSError, ValueError):
             detail = {}
         detail["serve_load"] = result
+        # the row is now freshly measured, not carried over from a prior
+        # record -- clear the bench merge-flush's inherited marker for it
+        if "serve_load" in detail.get("inherited_keys", []):
+            detail["inherited_keys"].remove("serve_load")
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(detail, f, indent=1)
