@@ -196,20 +196,27 @@ def main(argv=None) -> int:
         path = os.environ.get("TPUAO_BENCH_DETAIL") or os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
             "BENCH_DETAIL.json")
-        try:
-            detail = json.load(open(path))
-        except (OSError, ValueError):
-            detail = {}
-        detail["serve_load"] = result
-        # the row is now freshly measured, not carried over from a prior
-        # record -- clear the bench merge-flush's inherited marker for it
-        if "serve_load" in detail.get("inherited_keys", []):
-            detail["inherited_keys"].remove("serve_load")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(detail, f, indent=1)
-        os.replace(tmp, path)
+        record_result(result, path)
     return 0 if not err else 1
+
+
+def record_result(result, path):
+    """Merge a fresh serve_load row into the bench detail record.
+
+    Atomic replace, tolerant of a missing/corrupt record.  The row is
+    freshly measured, so the bench merge-flush's inherited marker for it
+    (if a prior bench run carried it over) is cleared."""
+    try:
+        detail = json.load(open(path))
+    except (OSError, ValueError):
+        detail = {}
+    detail["serve_load"] = result
+    if "serve_load" in detail.get("inherited_keys", []):
+        detail["inherited_keys"].remove("serve_load")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(detail, f, indent=1)
+    os.replace(tmp, path)
 
 
 if __name__ == "__main__":

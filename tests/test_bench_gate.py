@@ -57,6 +57,36 @@ def test_section_exception_is_isolated(harness):
     assert harness.results["sections_run"] == ["flaky", "after"]
 
 
+def test_serve_load_record_clears_inherited_marker(tmp_path):
+    """serve_load --record writes a FRESH row: the bench merge-flush's
+    inherited marker for it must be cleared (other markers untouched)."""
+    import importlib.util
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    spec = importlib.util.spec_from_file_location(
+        "serve_load", os.path.join(root, "benchmarks", "serve_load.py"))
+    sl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sl)
+
+    path = tmp_path / "detail.json"
+    path.write_text(json.dumps({
+        "configs": {"2_1080p_full": {"ms": 0.32}},
+        "inherited_keys": ["serve_load", "temporal_8k"],
+        "serve_load": {"req_per_s": 1.0},
+    }))
+    sl.record_result({"req_per_s": 2.0, "errors": []}, str(path))
+    merged = json.loads(path.read_text())
+    assert merged["serve_load"]["req_per_s"] == 2.0
+    assert merged["inherited_keys"] == ["temporal_8k"]
+    assert merged["configs"]["2_1080p_full"]["ms"] == 0.32  # untouched
+
+    # tolerant of a missing record: creates one with just the row
+    path2 = tmp_path / "fresh.json"
+    sl.record_result({"req_per_s": 3.0}, str(path2))
+    assert json.loads(path2.read_text())["serve_load"]["req_per_s"] == 3.0
+
+
 def test_flush_merges_never_clobbers(harness, tmp_path):
     """A partial run must keep rows a prior complete record produced
     (VERDICT r4 item 1c)."""
