@@ -944,3 +944,238 @@ def test_use_windowed_kernel_routing(monkeypatch):
     assert T._use_windowed_kernel("auto", 1080, 1920)      # 16.6 MB out
     assert T._use_windowed_kernel("auto", 2160, 3840)      # 66 MB out
     assert not T._use_windowed_kernel("auto", 4320, 7680)  # 265 MB out
+
+
+# ---------------------------------------------------------------------------
+# Per-pixel motion-vector path (object motion; golden/temporal.py module
+# conventions: mv[i, j] = (di, dj), current -> previous, pixel units)
+# ---------------------------------------------------------------------------
+
+
+def smooth_mv(h, w, r=3.0, seed=7):
+    """Smooth per-pixel motion bounded by ~0.9*r pixels per axis."""
+    di = (smooth_field(h, w, seed=seed) - 0.5) * 1.8 * r
+    dj = (smooth_field(h, w, seed=seed + 1) - 0.5) * 1.8 * r
+    return np.stack([di, dj], axis=-1)
+
+
+def test_mv_zero_equals_static_golden():
+    """A zero motion-vector buffer is texel-for-texel the static path:
+    identity sample, expected = curr_depth, full validity."""
+    h, w = 40, 56
+    ao = smooth_field(h, w)
+    d = smooth_depth(h, w)
+    hist = smooth_field(h, w, seed=3)
+    pd = d * 1.01
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.2)
+    want = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp, None)
+    got = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp,
+                                     np.zeros((h, w, 2)))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_mv_zero_equals_static_ops():
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 40, 56
+    ao = smooth_field(h, w).astype(np.float32)
+    d = smooth_depth(h, w).astype(np.float32)
+    hist = smooth_field(h, w, seed=3).astype(np.float32)
+    pd = (d * 1.01).astype(np.float32)
+    tp = TemporalParams(history_weight=0.9, depth_tolerance=0.2)
+    want = np.asarray(temporal_resolve(ao, d, hist, pd, JCAM, tp, None,
+                                       impl="jnp"))
+    got = np.asarray(temporal_resolve(ao, d, hist, pd, JCAM, tp,
+                                      np.zeros((h, w, 2), np.float32),
+                                      impl="jnp"))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+@pytest.mark.parametrize("max_displacement", [4, None])
+def test_mv_impl_matches_golden(max_displacement):
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 96, 128
+    ao = smooth_field(h, w)
+    hist = smooth_field(h, w, seed=9)
+    d = smooth_depth(h, w)
+    pd = smooth_depth(h, w, seed=2)
+    mv = smooth_mv(h, w, r=3.0)
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                              neighborhood_clamp=False,
+                              max_displacement=max_displacement)
+    jtp = TemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                         neighborhood_clamp=False,
+                         max_displacement=max_displacement)
+    want = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp, mv)
+    got = np.asarray(temporal_resolve(
+        ao.astype(np.float32), d.astype(np.float32),
+        hist.astype(np.float32), pd.astype(np.float32), JCAM, jtp,
+        motion=mv.astype(np.float32), impl="jnp"))
+    # same validity-boundary masking as test_impl_matches_golden_motion
+    ip, jp = GT.mv_coords(mv)
+    eps = 1e-3
+    safe = ((np.abs(ip + 0.5) > eps) & (np.abs(ip - (h - 0.5)) > eps)
+            & (np.abs(jp + 0.5) > eps) & (np.abs(jp - (w - 0.5)) > eps))
+    err = np.abs(got - want)[safe].max()
+    assert err <= 1e-3
+    assert err <= 1e-4  # measured headroom
+
+
+def test_mv_channel_first_matches_channel_last():
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 48, 64
+    ao = smooth_field(h, w).astype(np.float32)
+    d = smooth_depth(h, w).astype(np.float32)
+    hist = smooth_field(h, w, seed=4).astype(np.float32)
+    pd = smooth_depth(h, w, seed=5).astype(np.float32)
+    mv = smooth_mv(h, w).astype(np.float32)
+    tp = TemporalParams(history_weight=0.85)
+    a = np.asarray(temporal_resolve(ao, d, hist, pd, JCAM, tp, mv,
+                                    impl="jnp"))
+    b = np.asarray(temporal_resolve(ao, d, hist, pd, JCAM, tp,
+                                    np.moveaxis(mv, -1, 0), impl="jnp"))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_mv_matches_camera_equivalent_pan():
+    """For an image-plane camera translation (tz=0) the reprojected eye
+    depth equals the current depth, so a motion-vector buffer derived from
+    the camera reprojection must resolve identically to the camera path."""
+    h, w = 64, 96
+    ao = smooth_field(h, w)
+    d = smooth_depth(h, w)
+    hist = smooth_field(h, w, seed=6)
+    pd = smooth_depth(h, w, seed=7)
+    mot = translation(tx=0.6, ty=-0.4)  # tz=0: z' == z
+    ip, jp, _, _ = GT.reproject_coords(d, CAM, mot)
+    ii = np.arange(h, dtype=np.float64)[:, None]
+    jj = np.arange(w, dtype=np.float64)[None, :]
+    mv = np.stack([ip - ii, jp - jj], axis=-1)
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.25)
+    want = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp, mot)
+    got = GT.temporal_resolve_golden(ao, d, hist, pd, CAM, tp, mv)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_mv_pallas_parity():
+    """The windowed kernel takes generic (ip, jp) planes -- the MV path
+    must route through it identically (interpret mode on CPU)."""
+    import jax.numpy as jnp
+
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 80, 96
+    curr_ao = smooth_field(h, w, seed=8).astype(np.float32)
+    curr_d = smooth_depth(h, w, seed=9).astype(np.float32)
+    prev_ao = smooth_field(h, w, seed=10).astype(np.float32)
+    prev_d = curr_d + 0.002
+    mv = smooth_mv(h, w, r=2.5).astype(np.float32)
+    tp = TemporalParams(history_weight=0.85, max_displacement=3)
+    args = [jnp.asarray(a) for a in (curr_ao, curr_d, prev_ao, prev_d)]
+    want = temporal_resolve(*args, JCAM, tp, motion=jnp.asarray(mv),
+                            impl="jnp")
+    got = temporal_resolve(*args, JCAM, tp, motion=jnp.asarray(mv),
+                           impl="pallas")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5)
+
+
+def test_mv_l1_matches_golden():
+    from tpuao.ops.temporal import temporal_resolve_l1
+
+    h0, w0 = 96, 128
+    h1, w1 = h0 // 2, w0 // 2
+    ao1 = smooth_field(h1, w1)
+    d1 = smooth_depth(h1, w1)
+    hist1 = smooth_field(h1, w1, seed=11)
+    pd1 = smooth_depth(h1, w1, seed=12)
+    mv = smooth_mv(h0, w0, r=3.0)
+    tp = GoldenTemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                              neighborhood_clamp=False)
+    jtp = TemporalParams(history_weight=0.9, depth_tolerance=0.3,
+                         neighborhood_clamp=False)
+    want = GT.temporal_resolve_l1_golden(ao1, d1, hist1, pd1, h0, w0,
+                                         CAM, tp, mv)
+    got = np.asarray(temporal_resolve_l1(
+        ao1.astype(np.float32), d1.astype(np.float32),
+        hist1.astype(np.float32), pd1.astype(np.float32), h0, w0,
+        JCAM, jtp, motion=mv.astype(np.float32), impl="jnp"))
+    # boundary masking on the full-res validity coordinates
+    mv1 = mv[::2][:, ::2]
+    ip_f = mv1[..., 0] + 2.0 * np.arange(h1, dtype=np.float64)[:, None]
+    jp_f = mv1[..., 1] + 2.0 * np.arange(w1, dtype=np.float64)[None, :]
+    eps = 1e-3
+    safe = ((np.abs(ip_f + 0.5) > eps) & (np.abs(ip_f - (h0 - 0.5)) > eps)
+            & (np.abs(jp_f + 0.5) > eps) & (np.abs(jp_f - (w0 - 0.5)) > eps))
+    err = np.abs(got - want)[safe].max()
+    assert err <= 1e-3
+
+
+def test_mv_frame_and_sequence_drivers():
+    """render_frame_temporal chains with per-frame MV buffers ==
+    render_sequence_temporal over the (T, H, W, 2) motion stack."""
+    from tpuao.models.pipeline import (
+        render_frame_temporal,
+        render_sequence_temporal,
+    )
+
+    t_n, h, w = 3, 48, 64
+    rng = np.random.default_rng(3)
+    depths = np.stack([smooth_depth(h, w, seed=s) for s in range(t_n)])
+    depths = depths.astype(np.float32)
+    mvs = np.stack([smooth_mv(h, w, r=2.0, seed=20 + s)
+                    for s in range(t_n)]).astype(np.float32)
+    tp = TemporalParams(history_weight=0.8)
+    seq = np.asarray(render_sequence_temporal(
+        depths, JCAM, AOParams(), tp, motions=mvs, impl="jnp"))
+    state = None
+    for t in range(t_n):
+        out, state = render_frame_temporal(
+            depths[t], state, JCAM, AOParams(), tp,
+            motion=mvs[t], impl="jnp")
+        np.testing.assert_allclose(seq[t], np.asarray(out), atol=2e-6)
+    del rng
+
+
+def test_mv_bad_shapes_raise():
+    from tpuao.models.pipeline import render_sequence_temporal
+    from tpuao.ops.temporal import temporal_resolve
+
+    h, w = 32, 40
+    a = np.zeros((h, w), np.float32)
+    tp = TemporalParams()
+    with pytest.raises(ValueError, match="motion vectors"):
+        temporal_resolve(a, a, a, a, JCAM, tp,
+                         motion=np.zeros((h, w, 3), np.float32))
+    with pytest.raises(ValueError, match="motions must be"):
+        render_sequence_temporal(np.zeros((2, h, w), np.float32),
+                                 JCAM, AOParams(), tp,
+                                 motions=np.zeros((2, h, w, 3), np.float32))
+
+
+@pytest.mark.slow
+def test_mv_fleet_sharded_matches_per_view():
+    """(V, T, H, W, 2) motion-vector fleets shard like matrix fleets."""
+    from tpuao.models.pipeline import render_sequence_temporal
+    from tpuao.parallel.sharding import (
+        make_mesh,
+        render_sequences_temporal_sharded,
+    )
+
+    v, t_n, h, w = 4, 2, 48, 64
+    depths = _fleet_depths(v, t_n, h, w)
+    mvs = np.stack([
+        np.stack([smooth_mv(h, w, r=2.0, seed=40 + 10 * s + t)
+                  for t in range(t_n)])
+        for s in range(v)]).astype(np.float32)
+    tp = TemporalParams(history_weight=0.8)
+    out = render_sequences_temporal_sharded(
+        depths, JCAM, AOParams(), tp, motions=mvs, mesh=make_mesh(4),
+        impl="jnp")
+    assert out.shape == (v, t_n, h, w)
+    for s in range(v):
+        want = np.asarray(render_sequence_temporal(
+            depths[s], JCAM, AOParams(), tp, motions=mvs[s], impl="jnp"))
+        np.testing.assert_allclose(np.asarray(out)[s], want, atol=2e-6)

@@ -30,6 +30,20 @@ Conventions fixed by this spec
   i.e. ``motion = view_prev @ inv(view_curr)`` for world->eye view
   matrices (helper: ``tpuao.utils.camera.relative_motion``).  ``None``
   means a static camera (identity reprojection, gather-free).
+* ``motion`` may instead be a per-pixel MOTION-VECTOR buffer (H, W, 2) --
+  the engine-integration path for scenes with OBJECT motion, which no
+  camera transform can express.  ``mv[i, j] = (di, dj)`` maps current
+  pixel (i, j) to its previous-frame position ``(i + di, j + dj)`` in
+  pixel units (row offset first, +down / +right; engines storing
+  forward prev->curr UV motion supply ``di = -mv_v * H``,
+  ``dj = -mv_u * W``).  With no reprojected eye depth available, the
+  disocclusion test expects the history depth to match the CURRENT
+  frame's depth along the motion path (``expected = curr_depth`` --
+  the standard TAA depth-agreement test).  This is conservative for
+  camera dollies (approaching surfaces change depth and shed history
+  a frame early) and exact for pans, orbits at constant range, and
+  rigid object motion parallel to the image plane.  A zero buffer is
+  texel-for-texel identical to the static-camera path.
 * Pixel (i, j) has continuous image coordinates (i + 0.5, j + 0.5);
   reprojected history is sampled bilinearly at the continuous coordinate.
   Samples reprojecting outside the frame, behind the camera, or onto a
@@ -85,6 +99,7 @@ from tpuao.params import GoldenCameraParams, GoldenTemporalParams
 __all__ = [
     "NULL_DEPTH",
     "eye_rays",
+    "mv_coords",
     "reproject_coords",
     "reproject_coords_l1",
     "bilinear_sample",
@@ -141,6 +156,24 @@ def reproject_coords(depth: np.ndarray, camera: GoldenCameraParams,
     jp = (up + 1.0) * 0.5 * w - 0.5
     ip = (1.0 - vp) * 0.5 * h - 0.5
     return ip, jp, zp / float(camera.far), in_front
+
+
+def mv_coords(mv: np.ndarray):
+    """Continuous previous-frame pixel coords from a per-pixel
+    motion-vector buffer (module conventions: ``mv[i, j] = (di, dj)``,
+    current -> previous, pixel units, row offset first).
+
+    Returns ``(ip, jp)``; there is no reprojected depth -- the resolve's
+    depth-agreement test uses the CURRENT frame's depth as the expected
+    history depth (``expected = curr_depth``).
+    """
+    mv = np.asarray(mv, dtype=np.float64)
+    if mv.ndim != 3 or mv.shape[-1] != 2:
+        raise ValueError(f"motion vectors must be (H, W, 2), got {mv.shape}")
+    h, w = mv.shape[:2]
+    ip = mv[..., 0] + np.arange(h, dtype=np.float64)[:, None]
+    jp = mv[..., 1] + np.arange(w, dtype=np.float64)[None, :]
+    return ip, jp
 
 
 def bilinear_sample(field: np.ndarray, ip: np.ndarray, jp: np.ndarray):
@@ -213,11 +246,16 @@ def temporal_resolve_golden(
         expected = curr_depth
         valid = np.ones((h, w), dtype=np.float64)
     else:
-        ip, jp, z_prev, in_front = reproject_coords(curr_depth, camera,
-                                                    motion)
+        if np.ndim(motion) == 3:  # per-pixel motion vectors (H, W, 2)
+            ip, jp = mv_coords(motion)
+            expected = curr_depth  # TAA depth agreement (module docstring)
+            in_front = np.ones((h, w), dtype=bool)  # no reprojected z
+        else:
+            ip, jp, z_prev, in_front = reproject_coords(curr_depth, camera,
+                                                        motion)
+            expected = z_prev
         hist = bilinear_sample(prev_ao, ip, jp)
         d_hist = bilinear_sample(prev_depth, ip, jp)
-        expected = z_prev
         # validity over the frame RECTANGLE [-0.5, H-0.5] (edge texels
         # extend half a texel past their center; bilinear clamps there) --
         # a center-lattice [0, H-1] test would invalidate the frame's own
@@ -333,11 +371,26 @@ def temporal_resolve_l1_golden(
         expected = curr_d1
         valid = np.ones((h1, w1), dtype=np.float64)
     else:
-        ip_f, jp_f, z_prev, in_front = reproject_coords_l1(
-            curr_d1, h0, w0, camera, motion)
+        if np.ndim(motion) == 3:  # FULL-RES (h0, w0, 2) motion vectors:
+            # the retained texel (i, j) holds full-res texel (2i, 2j), so
+            # its motion is the pick-one sample of the full-res buffer
+            mv = np.asarray(motion, dtype=np.float64)
+            if mv.shape != (h0, w0, 2):
+                raise ValueError(
+                    f"motion vectors must be ({h0}, {w0}, 2), got {mv.shape}")
+            mv1 = mv[::2][:, ::2]
+            ii = 2.0 * np.arange(h1, dtype=np.float64)[:, None]
+            jj = 2.0 * np.arange(w1, dtype=np.float64)[None, :]
+            ip_f = mv1[..., 0] + ii
+            jp_f = mv1[..., 1] + jj
+            expected = curr_d1  # TAA depth agreement (module docstring)
+            in_front = np.ones((h1, w1), dtype=bool)
+        else:
+            ip_f, jp_f, z_prev, in_front = reproject_coords_l1(
+                curr_d1, h0, w0, camera, motion)
+            expected = z_prev
         hist = bilinear_sample(prev_ao1, ip_f / 2.0, jp_f / 2.0)
         d_hist = bilinear_sample(prev_d1, ip_f / 2.0, jp_f / 2.0)
-        expected = z_prev
         valid = (
             in_front
             & (ip_f >= -0.5) & (ip_f <= h0 - 0.5)

@@ -418,8 +418,11 @@ def render_frame_temporal(depth, state=None, camera=None, params=None,
     ``state`` is the ``(ao, depth)`` history from the previous call (or
     None for a fresh sequence -- the null history makes frame 0 resolve to
     its own single-frame AO).  ``motion`` is the current->previous eye
-    transform (4x4; ``tpuao.utils.camera.relative_motion``), or None for a
-    static camera (gather-free).  Returns ``(output, new_state)``.
+    transform (4x4; ``tpuao.utils.camera.relative_motion``), a per-pixel
+    motion-vector buffer ((H, W, 2) or (2, H, W), pixel units, current->
+    previous -- the object-motion path, spec in golden/temporal.py), or
+    None for a static camera (gather-free).  Returns
+    ``(output, new_state)``.
 
     ``resolve_level`` is a static structure knob: 0 (default) resolves at
     full res (the golden spec); 1 resolves the level-1 AO before the final
@@ -500,14 +503,17 @@ def render_sequence_temporal(depths, camera=None, params=None, tparams=None,
                              resolve_level: int = 0):
     """Temporally-accumulated sequence as ONE ``lax.scan`` program.
 
-    ``depths`` is (T, H, W); ``motions`` is None (static camera) or
+    ``depths`` is (T, H, W); ``motions`` is None (static camera),
     (T, 4, 4) where ``motions[t]`` maps frame t's eye space to frame
     t-1's (``motions[0]`` is irrelevant: the null history zeroes frame 0's
-    blend).  The whole sequence compiles to a single XLA program -- zero
-    host round-trips between frames, which matters on dispatch-taxed
-    links (docs/PERF.md: this relay charges ~3.3 ms per extra launch).
-    Returns the (T, H, W) resolved stack.  ``resolve_level``: see
-    ``render_frame_temporal`` (0 = full-res spec, 1 = half-res level-1).
+    blend), or per-pixel motion-vector buffers (T, H, W, 2) / (T, 2, H, W)
+    (pixel units, current->previous -- the object-motion path, spec in
+    golden/temporal.py).  The whole sequence compiles to a single XLA
+    program -- zero host round-trips between frames, which matters on
+    dispatch-taxed links (docs/PERF.md: this relay charges ~3.3 ms per
+    extra launch).  Returns the (T, H, W) resolved stack.
+    ``resolve_level``: see ``render_frame_temporal`` (0 = full-res spec,
+    1 = half-res level-1).
     """
     if resolve_level not in (0, 1):
         raise ValueError(f"resolve_level must be 0 or 1, "
@@ -520,10 +526,15 @@ def render_sequence_temporal(depths, camera=None, params=None, tparams=None,
         raise ValueError(f"depths must be (T, H, W), got {depths.shape}")
     if motions is not None:
         motions = jnp.asarray(motions, jnp.float32)
-        if motions.shape != (depths.shape[0], 4, 4):
+        t_n, h_n, w_n = depths.shape
+        ok = (motions.shape == (t_n, 4, 4)
+              or motions.shape == (t_n, h_n, w_n, 2)
+              or motions.shape == (t_n, 2, h_n, w_n))
+        if not ok:
             raise ValueError(
-                f"motions must be ({depths.shape[0]}, 4, 4), "
-                f"got {motions.shape}")
+                f"motions must be ({t_n}, 4, 4) eye transforms or "
+                f"({t_n}, {h_n}, {w_n}, 2) / ({t_n}, 2, {h_n}, {w_n}) "
+                f"motion-vector buffers, got {motions.shape}")
     if normals is not None:
         normals = jnp.asarray(normals)
     h0, w0 = depths.shape[-2:]

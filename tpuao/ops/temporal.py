@@ -108,6 +108,22 @@ def _reproject_coords(depth, camera, motion):
     return ip, jp, zp / far, in_front
 
 
+def _mv_planes(mv):
+    """(di, dj) planes from a motion-vector buffer: channel-last
+    ``(H, W, 2)`` (the frameio/engine layout) or channel-first
+    ``(2, H, W)`` (the DMA-friendlier layout, mirroring the normals
+    fast path -- ops/prepare.slope_planes)."""
+    mv = jnp.asarray(mv, jnp.float32)
+    if mv.ndim != 3:
+        raise ValueError(f"motion vectors must be rank 3, got {mv.shape}")
+    if mv.shape[0] == 2 and mv.shape[-1] != 2:
+        return mv[0], mv[1]
+    if mv.shape[-1] == 2:
+        return mv[..., 0], mv[..., 1]
+    raise ValueError(
+        f"motion vectors must be (H, W, 2) or (2, H, W), got {mv.shape}")
+
+
 def _bilinear_gather2(ao, d, ip, jp):
     """Bilinear sample of BOTH history fields at continuous (ip, jp).
 
@@ -226,7 +242,12 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
     All fields (H, W) f32; depths are normalized linear eye depth.  Returns
     the resolved AO; the caller's next history state is
     ``(resolved, curr_depth)``.  ``motion`` is a traced (4, 4) current->
-    previous eye transform, or None for the gather-free static-camera path.
+    previous eye transform, a traced per-pixel MOTION-VECTOR buffer
+    ((H, W, 2) or channel-first (2, H, W); pixel units, current->previous,
+    row offset first -- the object-motion path, golden/temporal.py module
+    conventions; disocclusion then tests history depth against the CURRENT
+    depth), or None for the gather-free static-camera path.  The rank of
+    ``motion`` is a static structural choice; its values are traced.
     The windowed history resample routes through the Pallas VMEM-tile
     kernel on TPU by default (``_use_windowed_kernel``: measured 2.2x the
     XLA row-offset scan at 1080p full-res); ``impl="jnp"`` forces the XLA
@@ -243,8 +264,21 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
         expected = curr_depth
         valid = 1.0
     else:
-        ip, jp, z_prev, in_front = _reproject_coords(curr_depth, camera,
-                                                     jnp.asarray(motion))
+        mot = jnp.asarray(motion)
+        if mot.ndim == 3:  # per-pixel motion vectors (module docstring)
+            di, dj = _mv_planes(mot)
+            ip = di + jnp.arange(h, dtype=jnp.float32)[:, None]
+            jp = dj + jnp.arange(w, dtype=jnp.float32)[None, :]
+            expected = curr_depth  # TAA depth agreement: no reprojected z
+            valid = ((ip >= -0.5) & (ip <= h - 0.5)
+                     & (jp >= -0.5) & (jp <= w - 0.5))
+        else:
+            ip, jp, z_prev, in_front = _reproject_coords(curr_depth,
+                                                         camera, mot)
+            expected = z_prev
+            valid = (in_front
+                     & (ip >= -0.5) & (ip <= h - 0.5)
+                     & (jp >= -0.5) & (jp <= w - 0.5))
         r = tparams.max_displacement
         if r is None:
             hist, d_hist = _bilinear_gather2(prev_ao, prev_depth, ip, jp)
@@ -256,10 +290,6 @@ def temporal_resolve(curr_ao, curr_depth, prev_ao, prev_depth, camera,
         else:
             hist, d_hist = _bilinear_windowed2(prev_ao, prev_depth, ip, jp,
                                                int(r))
-        expected = z_prev
-        valid = (in_front
-                 & (ip >= -0.5) & (ip <= h - 0.5)
-                 & (jp >= -0.5) & (jp <= w - 0.5))
         if r is not None:
             rf = float(r)
             di = ip - jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -331,8 +361,26 @@ def temporal_resolve_l1(curr_ao1, curr_d1, prev_ao1, prev_d1, h0: int,
         expected = curr_d1
         valid = 1.0
     else:
-        ip_f, jp_f, z_prev, in_front = _reproject_coords_l1(
-            curr_d1, h0, w0, camera, jnp.asarray(motion))
+        mot = jnp.asarray(motion)
+        if mot.ndim == 3:  # FULL-RES motion vectors: the retained texel
+            # (i, j) holds full texel (2i, 2j), so its motion is the
+            # pick-one sample of the full-res buffer (per-axis slices --
+            # the 2-D strided slice lowers pathologically on TPU)
+            di_f, dj_f = _mv_planes(mot)
+            di1 = di_f[::2][:, ::2]
+            dj1 = dj_f[::2][:, ::2]
+            ip_f = di1 + 2.0 * jnp.arange(h1, dtype=jnp.float32)[:, None]
+            jp_f = dj1 + 2.0 * jnp.arange(w1, dtype=jnp.float32)[None, :]
+            expected = curr_d1  # TAA depth agreement: no reprojected z
+            valid = ((ip_f >= -0.5) & (ip_f <= h0 - 0.5)
+                     & (jp_f >= -0.5) & (jp_f <= w0 - 0.5))
+        else:
+            ip_f, jp_f, z_prev, in_front = _reproject_coords_l1(
+                curr_d1, h0, w0, camera, mot)
+            expected = z_prev
+            valid = (in_front
+                     & (ip_f >= -0.5) & (ip_f <= h0 - 0.5)
+                     & (jp_f >= -0.5) & (jp_f <= w0 - 0.5))
         r = tparams.max_displacement
         ip_h, jp_h = ip_f * 0.5, jp_f * 0.5
         if r is None:
@@ -345,10 +393,6 @@ def temporal_resolve_l1(curr_ao1, curr_d1, prev_ao1, prev_d1, h0: int,
         else:
             hist, d_hist = _bilinear_windowed2(prev_ao1, prev_d1, ip_h,
                                                jp_h, -(-int(r) // 2))
-        expected = z_prev
-        valid = (in_front
-                 & (ip_f >= -0.5) & (ip_f <= h0 - 0.5)
-                 & (jp_f >= -0.5) & (jp_f <= w0 - 0.5))
         if r is not None:
             rf = float(r)
             di = ip_f - 2.0 * jnp.arange(h1, dtype=jnp.float32)[:, None]

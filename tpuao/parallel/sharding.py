@@ -307,9 +307,11 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
     are temporally dependent *within* a view but embarrassingly parallel
     *across* views, exactly the sharding/scan split.
 
-    ``motions`` is None (static cameras) or (V, T, 4, 4) per-view eye
+    ``motions`` is None (static cameras), (V, T, 4, 4) per-view eye
     transforms (``motions[v, t]`` maps view v's frame t to its frame
-    t-1); ``normals`` is optional (V, T, H, W, 3).  An uneven view count
+    t-1), or per-pixel motion-vector buffers (V, T, H, W, 2) /
+    (V, T, 2, H, W) (the object-motion path, spec in golden/temporal.py);
+    ``normals`` is optional (V, T, H, W, 3).  An uneven view count
     pads by replicating the last sequence and crops after (the cropped
     result may come back replicated -- the same inexpressible-uneven-
     sharding caveat as ``render_views_sharded``).  Returns the
@@ -331,9 +333,15 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
     v, t = depths.shape[:2]
     if motions is not None:
         motions = jnp.asarray(motions, jnp.float32)
-        if motions.shape != (v, t, 4, 4):
-            raise ValueError(f"motions must be ({v}, {t}, 4, 4), "
-                             f"got {motions.shape}")
+        h_n, w_n = depths.shape[-2:]
+        ok = (motions.shape == (v, t, 4, 4)
+              or motions.shape == (v, t, h_n, w_n, 2)
+              or motions.shape == (v, t, 2, h_n, w_n))
+        if not ok:
+            raise ValueError(
+                f"motions must be ({v}, {t}, 4, 4) eye transforms or "
+                f"({v}, {t}, {h_n}, {w_n}, 2) / ({v}, {t}, 2, {h_n}, "
+                f"{w_n}) motion-vector buffers, got {motions.shape}")
     if normals is not None:
         normals = jnp.asarray(normals, jnp.float32)
 
@@ -355,11 +363,12 @@ def render_sequences_temporal_sharded(depths, camera=None, params=None,
     put = lambda x, nd: (None if x is None else jax.device_put(
         x, NamedSharding(mesh, P(VIEW_AXIS, *([None] * (nd - 1))))))
     depths = put(depths, 4)
-    motions = put(motions, 4)
+    motions = put(motions, None if motions is None else motions.ndim)
     normals = put(normals, 5)
     local_px = depths.shape[-2] * depths.shape[-1]
     return _temporal_sharded_jit(
-        mesh, motions is not None, normals is not None, impl, local_px,
+        mesh, False if motions is None else motions.ndim,
+        normals is not None, impl, local_px,
         out_dtype, resolve_level)(depths, motions, normals, camera, params,
                                   tparams)
 
@@ -392,10 +401,15 @@ def _temporal_sharded_core(mesh: Mesh, with_motions: bool,
                 init=init, resolve_level=resolve_level),
             (d, mot, nrm))
 
+    # with_motions: False/None = no motions; True = (V, T, 4, 4) eye
+    # transforms (rank 4, the back-compat spelling); an int = the motions
+    # rank (5 for per-pixel motion-vector buffers (V, T, H, W, 2) or
+    # (V, T, 2, H, W))
+    m_rank = 4 if with_motions is True else (with_motions or 0)
     return jax.shard_map(
         per_chip, mesh=mesh,
         in_specs=(P(VIEW_AXIS, None, None, None),
-                  P(VIEW_AXIS, None, None, None) if with_motions else P(),
+                  P(VIEW_AXIS, *([None] * (m_rank - 1))) if m_rank else P(),
                   (P(VIEW_AXIS, None, None, None, None)
                    if with_normals else P()),
                   P(), P(), P()),
