@@ -1121,3 +1121,76 @@ def test_client_session_close_swallows_http_errors():
     finally:
         srv.shutdown()
         srv.server_close()
+
+
+def test_serve_temporal_session_mv():
+    """Object-motion sessions: a trailing 'mv' body buffer (per-pixel
+    current->previous pixel offsets as 'PF' with a zero third channel)
+    resolves like a local engine fed motion=mv; guard rails 400."""
+    import sys
+    import threading
+    import urllib.error
+    import urllib.request
+
+    sys.path.insert(0, "/root/repo/examples")
+    import serve as S
+
+    from tpuao.client import AOClient
+    from tpuao.models.pipeline import TemporalAOEngine
+    from tpuao.params import CameraParams
+    from tpuao.utils import fixtures as F
+    from tpuao.utils.frameio import dumps_pfm
+
+    srv = S.make_server(0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{srv.server_address[1]}"
+        h, w = 80, 96
+        z0 = F.spheres_on_plane(h, w, n_spheres=2, seed=5).astype(np.float32)
+        z1 = np.roll(z0, 2, axis=1)  # content slides +2 px in x
+        mv = np.zeros((h, w, 2), np.float32)
+        mv[..., 1] = -2.0  # current pixel was previously 2 px left
+
+        eng = TemporalAOEngine(CameraParams(depth_mode="linear"))
+        client = AOClient(base)
+        with client.session("mvstream") as ses:
+            got0 = ses.render(z0)
+            np.testing.assert_allclose(got0, np.asarray(eng.render(z0)),
+                                       atol=1e-6)
+            got1 = ses.render(z1, mv=mv)
+            want1 = np.asarray(eng.render(z1, motion=mv))
+            np.testing.assert_allclose(got1, want1, atol=1e-6)
+            assert ses.last_frame_index == 1
+
+        # client-side validation: wrong mv shape, mv+view conflict
+        with client.session("mvstream2") as ses2:
+            with pytest.raises(ValueError, match="mv must be"):
+                ses2.render(z0, mv=np.zeros((h, w, 3), np.float32))
+            with pytest.raises(ValueError, match="not several"):
+                ses2.render(z0, mv=mv, view=np.eye(4))
+
+        # server guard rails: all 400s
+        body_mv = dumps_pfm(z1) + dumps_pfm(
+            np.concatenate([mv, np.zeros((h, w, 1), np.float32)], axis=-1))
+        for qs, body in (
+                # mv buffer without session=
+                ("buffers=depth,mv", body_mv),
+                # mv buffer + motion= matrix conflict
+                ("session=s9&buffers=depth,mv&motion="
+                 + ",".join(["0"] * 16), body_mv),
+                # mv must be trailing / known combination
+                ("session=s9&buffers=mv,depth", body_mv),
+                # shape mismatch: 'Pf' single-channel mv frame
+                ("session=s9&buffers=depth,mv",
+                 dumps_pfm(z1) + dumps_pfm(z0)),
+        ):
+            req = urllib.request.Request(f"{base}/ao?{qs}", data=body)
+            try:
+                urllib.request.urlopen(req)
+                assert False, f"expected 400 for {qs}"
+            except urllib.error.HTTPError as e:
+                assert e.code == 400, qs
+    finally:
+        srv.shutdown()
+        srv.server_close()

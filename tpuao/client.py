@@ -267,7 +267,10 @@ class TemporalSession:
     The server keeps this stream's ``(ao, depth)`` history device-side;
     each ``render`` resolves the new frame against it.  Pass ``view=``
     (this frame's 4x4 world->eye matrix) or ``motion=`` (the current->
-    previous eye transform) for a moving camera; omit both when static.
+    previous eye transform) for a moving camera, or ``mv=`` ((H, W, 2)
+    per-pixel current->previous offsets in pixels -- the OBJECT-motion
+    path, spec golden/temporal.py; rides the body as a 'PF' buffer);
+    omit all three when static.
 
     The session camera rides EVERY frame (the server accepts identical
     re-sends and rejects only changes), so a stream resumed after the
@@ -303,12 +306,12 @@ class TemporalSession:
         self.last_frame_index = None
 
     def render(self, depth, normals=None, color=None, *, view=None,
-               motion=None, reset: bool = False, out: str = "pfm",
+               motion=None, mv=None, reset: bool = False, out: str = "pfm",
                **tunables):
         if self._closed:
             raise ValueError(f"session {self.id} is closed")
-        if view is not None and motion is not None:
-            raise ValueError("pass view= or motion=, not both")
+        if sum(x is not None for x in (view, motion, mv)) > 1:
+            raise ValueError("pass view=, motion=, or mv=, not several")
         if out not in ("pfm", "png"):
             raise ValueError(f"out must be 'pfm' or 'png', got {out!r}")
         q = {"session": self.id}
@@ -340,12 +343,25 @@ class TemporalSession:
         if depth.ndim != 2:
             raise ValueError(f"depth must be (H, W), got {depth.shape}")
         frames = [depth]
+        names = ["depth"]
         if normals is not None:
             frames.append(np.asarray(normals, np.float32))
+            names.append("normals")
         if color is not None:
             frames.append(np.asarray(color, np.float32))
-            if normals is None:
-                q["buffers"] = "depth,color"
+            names.append("color")
+        if mv is not None:
+            # (H, W, 2) pixel offsets current->previous; PFM has no
+            # 2-channel form, so it rides as 'PF' with a zero third plane
+            mv = np.asarray(mv, np.float32)
+            if mv.shape != depth.shape + (2,):
+                raise ValueError(f"mv must be {depth.shape + (2,)}, "
+                                 f"got {mv.shape}")
+            frames.append(np.concatenate(
+                [mv, np.zeros(depth.shape + (1,), np.float32)], axis=-1))
+            names.append("mv")
+        if names != ["depth", "normals", "color"][:len(names)]:
+            q["buffers"] = ",".join(names)
         if out != "pfm":
             q["out"] = out
         body = b"".join(dumps_pfm(f) for f in frames)

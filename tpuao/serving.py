@@ -35,7 +35,12 @@ API (stdlib HTTP, threaded):
                       frame's world->eye matrix; the server derives the
                       relative motion) or ``?motion=`` (the current->
                       previous eye transform directly); omit both for a
-                      static camera.  ``?reset=1`` drops history (scene
+                      static camera.  OBJECT motion instead rides a
+                      trailing ``mv`` body buffer (``?buffers=depth,mv``
+                      etc., session-only): a 3-channel 'PF' whose first
+                      two channels are (di, dj) pixel offsets current->
+                      previous (third ignored; spec golden/temporal.py),
+                      mutually exclusive with ``view=``/``motion=``.  ``?reset=1`` drops history (scene
                       cut).  ``history_weight=``/``depth_tolerance=``
                       ride as traced scalars.  Camera overrides bind at
                       session creation and are rejected mid-stream (the
@@ -384,11 +389,25 @@ class AOHandler(BaseHTTPRequestHandler):
             if len(names) != len(frames):
                 raise ValueError(f"buffers= names {len(names)} frames but "
                                  f"the body holds {len(frames)}")
-            if names[0] != "depth" or names[1:] not in (
+            has_mv = bool(names) and names[-1] == "mv"
+            core = names[1:-1] if has_mv else names[1:]
+            if not names or names[0] != "depth" or core not in (
                     [], ["normals"], ["color"], ["normals", "color"]):
                 raise ValueError(
-                    "buffers= must be depth[,normals][,color] in order, "
-                    f"got {names}")
+                    "buffers= must be depth[,normals][,color][,mv] in "
+                    f"order, got {names}")
+            if has_mv:
+                # per-pixel motion vectors (object motion): session-only
+                # (stateless frames have no history to reproject), rides
+                # as a 3-channel 'PF' whose first two channels are
+                # (di, dj) pixel offsets current->previous (third channel
+                # ignored -- PFM has no 2-channel form); mutually
+                # exclusive with the view=/motion= camera matrices
+                if sid is None:
+                    raise ValueError("an mv buffer needs session=")
+                if mat is not None:
+                    raise ValueError("pass an mv buffer or view=/motion=, "
+                                     "not both")
             bufs = dict(zip(names, frames))
             depth = bufs["depth"]
             if depth.ndim != 2:
@@ -408,6 +427,14 @@ class AOHandler(BaseHTTPRequestHandler):
             if color is not None and color.shape[:2] != depth.shape:
                 raise ValueError(f"color frame shape {color.shape} does "
                                  f"not match depth {depth.shape}")
+            mv = bufs.get("mv")
+            if mv is not None:
+                if (mv.ndim != 3 or mv.shape[-1] != 3
+                        or mv.shape[:2] != depth.shape):
+                    raise ValueError("mv frame must be 'PF' (H, W, 3) "
+                                     f"matching depth {depth.shape}, got "
+                                     f"{mv.shape}")
+                mat = np.ascontiguousarray(mv[..., :2], np.float32)
             eng = self.server.engine
             direct = bool(tunables or cam_over
                           or self.server.batcher is None)
